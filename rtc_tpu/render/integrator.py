@@ -1,0 +1,325 @@
+"""Wavefront Whitted integrator.
+
+The reference recurses per pixel (src/world.rs:80-163); here one traced graph
+processes a whole wavefront of rays per node of the (statically unrolled)
+bounce tree. With the reference's budget semantics —
+
+    internal_color_at(rem): rem < 1 -> BLACK             (src/world.rs:85-87)
+      shade_hit(rem-1):                                  (src/world.rs:95)
+        reflected/refracted_color(rem-2): rem-2 < 1 -> BLACK  (src/world.rs:68-69)
+          internal_color_at(rem-3)                       (src/world.rs:126,159)
+
+— each secondary ray costs 3 budget, so RECURSION_LIMIT = 5 yields exactly two
+shading levels (primary + one reflect/refract pair). The unroll reproduces the
+double-decrement semantics for ANY budget, including the
+mutually-reflective-surfaces termination test (src/world.rs:357-373).
+
+Everything is pure jnp: differentiable, jit/vmap/shard_map friendly. Masked
+lanes carry finite dummy values so no NaNs flow through values or gradients.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..ops import intersect, lighting, normals, patterns
+from ..ops.vec import dot, normalize, reflect, safe_sqrt
+from ..utils.config import RenderConfig
+from ..utils.constants import BIG
+from ..scene.compile import Scene
+
+# kind codes (scene.shapes.KIND_CODES)
+SPHERE, PLANE, CUBE, CYLINDER, CONE = 0, 1, 2, 3, 4
+
+
+class HitInfo(NamedTuple):
+    t: jnp.ndarray        # (R,) hit time (BIG when miss)
+    valid: jnp.ndarray    # (R,) bool
+    obj: jnp.ndarray      # (R,) i32 object id (clamped valid index)
+    prim: jnp.ndarray     # (R,) i32 analytic prim id (clamped)
+    tri: jnp.ndarray      # (R,) i32 triangle id (clamped)
+    is_tri: jnp.ndarray   # (R,) bool
+
+
+def _local_rays(inv, o, d):
+    """Transform a ray wavefront into each prim's object space.
+    inv: (N, 3, 4); o/d: (R, 3) -> (R, N, 3)."""
+    o_l = jnp.einsum("nij,rj->rni", inv[:, :, :3], o) + inv[:, :, 3]
+    d_l = jnp.einsum("nij,rj->rni", inv[:, :, :3], d)
+    return o_l, d_l
+
+
+def prim_candidates(scene: Scene, o, d, eps, ids=None):
+    """Candidate hit slots for analytic prims: (R, N, 4) t + valid.
+
+    Every kind's kernel runs on every prim, masked by kind — N is small and
+    TPU prefers straight-line masked math to gather/switch (the reference's
+    per-kind match is at src/shape.rs:257-460).
+
+    ids: optional static tuple restricting to a subset of prims (used by the
+    refraction-index pass).
+    """
+    inv = scene.prim_inv
+    kind = scene.prim_kind
+    params = scene.prim_params
+    if ids is not None:
+        idx = jnp.asarray(ids, dtype=jnp.int32)
+        inv, kind, params = inv[idx], kind[idx], params[idx]
+    o_l, d_l = _local_rays(inv, o, d)
+    ymin, ymax = params[:, 0], params[:, 1]
+    capped = params[:, 2] > 0.5
+
+    def pad4(h: intersect.Hits):
+        k = h.t.shape[-1]
+        if k == 4:
+            return h
+        pad = [(0, 0)] * (h.t.ndim - 1) + [(0, 4 - k)]
+        return intersect.Hits(
+            jnp.pad(h.t, pad), jnp.pad(h.valid, pad, constant_values=False)
+        )
+
+    sp = pad4(intersect.sphere(o_l, d_l))
+    pl = pad4(intersect.plane(o_l, d_l, eps))
+    cu = pad4(intersect.cube(o_l, d_l, eps))
+    cy = pad4(intersect.cylinder(o_l, d_l, ymin, ymax, capped, eps))
+    co = pad4(intersect.cone(o_l, d_l, ymin, ymax, capped, eps))
+
+    k = kind[None, :, None]
+    t = jnp.where(k == SPHERE, sp.t, 0.0)
+    v = (k == SPHERE) & sp.valid
+    for code, h in ((PLANE, pl), (CUBE, cu), (CYLINDER, cy), (CONE, co)):
+        t = jnp.where(k == code, h.t, t)
+        v = jnp.where(k == code, h.valid, v)
+    return t, v
+
+
+def tri_candidates(scene: Scene, o, d, eps):
+    """Brute-force ray x triangle sweep: (R, T) t + valid."""
+    t, valid, _, _ = intersect.triangle(
+        o[:, None, :], d[:, None, :],
+        scene.tri_p1[None, :, :], scene.tri_e1[None, :, :], scene.tri_e2[None, :, :],
+        eps,
+    )
+    return t, valid
+
+
+def closest_hit(scene: Scene, o, d, cfg: RenderConfig) -> HitInfo:
+    """World::intersect + Intersection::hit — global min over t >= 0
+    (reference: src/world.rs:43-54, src/intersection.rs:79-84)."""
+    R = o.shape[0]
+    st = scene.static
+    t_p = jnp.full((R,), BIG, o.dtype)
+    idx_p = jnp.zeros((R,), jnp.int32)
+    if st.n_prims:
+        t, v = prim_candidates(scene, o, d, cfg.epsilon)
+        tt = jnp.where(v & (t >= 0.0), t, BIG).reshape(R, -1)
+        idx_flat = jnp.argmin(tt, axis=1)
+        t_p = jnp.take_along_axis(tt, idx_flat[:, None], axis=1)[:, 0]
+        idx_p = (idx_flat // 4).astype(jnp.int32)
+    t_t = jnp.full((R,), BIG, o.dtype)
+    idx_t = jnp.zeros((R,), jnp.int32)
+    if st.n_tris:
+        t, v = tri_candidates(scene, o, d, cfg.epsilon)
+        tt = jnp.where(v & (t >= 0.0), t, BIG)
+        idx_t = jnp.argmin(tt, axis=1).astype(jnp.int32)
+        t_t = jnp.take_along_axis(tt, idx_t[:, None], axis=1)[:, 0]
+
+    is_tri = t_t < t_p
+    t_hit = jnp.where(is_tri, t_t, t_p)
+    valid = t_hit < BIG * 0.5
+    if st.n_tris:
+        tri_obj = scene.tri_obj[idx_t]
+    else:
+        tri_obj = jnp.zeros((R,), jnp.int32)
+    prim_obj = scene.prim_obj[idx_p] if st.n_prims else jnp.zeros((R,), jnp.int32)
+    obj = jnp.where(is_tri, tri_obj, prim_obj)
+    return HitInfo(t=t_hit, valid=valid, obj=obj, prim=idx_p, tri=idx_t, is_tri=is_tri)
+
+
+def normal_at(scene: Scene, hit: HitInfo, world_point, eps) -> jnp.ndarray:
+    """World-space unit normal at the hit (reference: src/shape.rs:466-519)."""
+    st = scene.static
+    if st.n_tris:
+        n_tri = scene.tri_n[hit.tri]
+    else:
+        n_tri = jnp.zeros_like(world_point)
+
+    if st.n_prims:
+        inv = scene.prim_inv[hit.prim]        # (R, 3, 4)
+        invT = scene.prim_invT[hit.prim]      # (R, 3, 3)
+        params = scene.prim_params[hit.prim]
+        kind = scene.prim_kind[hit.prim]
+        p_l = jnp.einsum("rij,rj->ri", inv[:, :, :3], world_point) + inv[:, :, 3]
+        n_l = normals.sphere(p_l)
+        n_l = jnp.where((kind == PLANE)[:, None], normals.plane(p_l), n_l)
+        n_l = jnp.where((kind == CUBE)[:, None], normals.cube(p_l), n_l)
+        n_l = jnp.where(
+            (kind == CYLINDER)[:, None],
+            normals.cylinder(p_l, params[:, 0], params[:, 1], eps),
+            n_l,
+        )
+        n_l = jnp.where((kind == CONE)[:, None], normals.cone(p_l), n_l)
+        n_p = normalize(jnp.einsum("rij,rj->ri", invT, n_l))
+    else:
+        n_p = jnp.zeros_like(world_point)
+
+    return jnp.where(hit.is_tri[:, None], n_tri, n_p)
+
+
+def is_shadowed(scene: Scene, point, cfg: RenderConfig):
+    """Shadow ray toward the light (reference: src/world.rs:100-114)."""
+    v = scene.light_pos - point
+    distance = jnp.sqrt(jnp.maximum(dot(v, v), 1e-30))
+    direction = v / distance[:, None]
+    hit = closest_hit(scene, point, direction, cfg)
+    return hit.valid & (hit.t < distance)
+
+
+def refraction_indices(scene: Scene, o, d, hit: HitInfo, cfg: RenderConfig):
+    """n1/n2 via crossing parity — the vectorized equivalent of the
+    reference's containers-stack walk over the sorted intersection list
+    (src/intersection.rs:29-62).
+
+    For each prim in the static refractive set, count its crossings strictly
+    before t_hit: odd parity == "the ray is currently inside". The stack's
+    `last()` is the inside prim whose most recent crossing is latest.
+
+    Deviation (documented in ARCHITECTURE.md): only prims with ior != 1 or
+    transparency > 0 participate as containers. Objects with ior == 1.0
+    contribute the default 1.0 in the reference, so values agree except in
+    the degenerate shading-from-inside-an-opaque-object case.
+    """
+    ids = scene.static.refr_prim_ids
+    R = o.shape[0]
+    one = jnp.ones((R,), o.dtype)
+    n2_enter = scene.mat_ior[hit.obj] if scene.static.n_objects else one
+    if not ids:
+        return one, n2_enter
+
+    t, v = prim_candidates(scene, o, d, cfg.epsilon, ids=ids)  # (R, K, 4)
+    before = v & (t < hit.t[:, None, None])
+    cnt = jnp.sum(before, axis=2)                               # (R, K)
+    last = jnp.max(jnp.where(before, t, -BIG), axis=2)          # (R, K)
+    inside = (cnt % 2) == 1
+
+    ids_arr = jnp.asarray(ids, dtype=jnp.int32)
+    sub_ior = scene.mat_ior[ids_arr]                            # (K,)
+
+    def stack_top(mask):
+        score = jnp.where(mask, last, -BIG)
+        j = jnp.argmax(score, axis=1)
+        any_open = jnp.any(mask, axis=1)
+        return jnp.where(any_open, sub_ior[j], 1.0)
+
+    n1 = stack_top(inside)
+
+    is_self = (~hit.is_tri)[:, None] & (ids_arr[None, :] == hit.prim[:, None])
+    self_inside = jnp.any(inside & is_self, axis=1)
+    n2_exit = stack_top(inside & ~is_self)
+    n2 = jnp.where(self_inside, n2_exit, n2_enter)
+    return n1, n2
+
+
+def schlick(cos_eye_normal, n1, n2):
+    """Fresnel approximation (reference: src/intersection.rs:107-128)."""
+    cos = cos_eye_normal
+    n = n1 / n2
+    sin2_t = n * n * (1.0 - cos * cos)
+    tir = (n1 > n2) & (sin2_t > 1.0)
+    cos_t = safe_sqrt(1.0 - jnp.minimum(sin2_t, 1.0))
+    cos_used = jnp.where(n1 > n2, cos_t, cos)
+    r0 = ((n1 - n2) / (n1 + n2)) ** 2
+    reflectance = r0 + (1.0 - r0) * (1.0 - cos_used) ** 5
+    return jnp.where(tir, 1.0, reflectance)
+
+
+def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None):
+    """Whole-wavefront color (reference: src/world.rs:80-98). o/d: (R, 3)."""
+    if budget is None:
+        budget = cfg.max_depth
+    if budget < 1:
+        return jnp.zeros_like(o)
+
+    st = scene.static
+    eps = cfg.epsilon
+    if st.n_objects == 0:
+        return jnp.zeros_like(o)
+
+    hit = closest_hit(scene, o, d, cfg)
+    valid = hit.valid
+    t_safe = jnp.where(valid, hit.t, 1.0)
+    point = o + d * t_safe[:, None]
+    eyev = -d
+
+    n_raw = normal_at(scene, hit, point, eps)
+    inside = dot(n_raw, eyev) < 0.0
+    normalv = jnp.where(inside[:, None], -n_raw, n_raw)  # (src/intersection.rs:22-26)
+    over = point + normalv * eps
+    under = point - normalv * eps
+
+    obj = hit.obj
+    # pattern-space sampling; NONE rows resolve to the material color
+    pat_p = jnp.einsum("rij,rj->ri", scene.pat_inv[obj][:, :, :3], point) + scene.pat_inv[obj][:, :, 3]
+    base_color = patterns.color_at(pat_p, scene.pat_kind[obj], scene.pat_a[obj], scene.pat_b[obj])
+
+    shadowed = (
+        is_shadowed(scene, over, cfg)
+        if cfg.shadows
+        else jnp.zeros_like(valid)
+    )
+    surface = lighting.lighting(
+        base_color,
+        scene.mat_ambient[obj],
+        scene.mat_diffuse[obj],
+        scene.mat_specular[obj],
+        scene.mat_shininess[obj],
+        scene.light_pos,
+        scene.light_intensity,
+        point,
+        eyev,
+        normalv,
+        shadowed,
+    )
+
+    can_branch = budget >= 4  # children shade only if (budget-3) >= 1
+    reflective = scene.mat_reflective[obj]
+    transparency = scene.mat_transparency[obj]
+
+    refl = jnp.zeros_like(o)
+    if can_branch and st.any_reflective:
+        reflectv = reflect(d, normalv)  # (src/intersection.rs:27, world.rs:125)
+        refl = color_at(scene, over, reflectv, cfg, budget - 3) * reflective[:, None]
+
+    refr = jnp.zeros_like(o)
+    n1 = n2 = None
+    if (can_branch and st.any_refractive) or (st.any_reflective and st.any_refractive):
+        n1, n2 = refraction_indices(scene, o, d, hit, cfg)
+    if can_branch and st.any_refractive:
+        # Snell construction (reference: src/world.rs:140-162)
+        n_ratio = n1 / n2
+        cos_i = dot(eyev, normalv)
+        sin2_t = n_ratio * n_ratio * (1.0 - cos_i * cos_i)
+        tir = sin2_t > 1.0
+        cos_t = safe_sqrt(1.0 - jnp.minimum(sin2_t, 1.0))
+        refr_dir = normalv * (n_ratio * cos_i - cos_t)[:, None] - eyev * n_ratio[:, None]
+        refr = (
+            color_at(scene, under, refr_dir, cfg, budget - 3)
+            * transparency[:, None]
+            * jnp.where(tir, 0.0, 1.0)[:, None]
+        )
+
+    if st.any_reflective and st.any_refractive:
+        # Schlick blend only when the material is both (src/world.rs:71-77)
+        both = (reflective > 0.0) & (transparency > 0.0)
+        reflectance = schlick(dot(eyev, normalv), n1, n2)
+        secondary = jnp.where(
+            both[:, None],
+            refl * reflectance[:, None] + refr * (1.0 - reflectance)[:, None],
+            refl + refr,
+        )
+    else:
+        secondary = refl + refr
+
+    return jnp.where(valid[:, None], surface + secondary, 0.0)

@@ -1,0 +1,264 @@
+"""Scene compiler: builder tree -> SoA device slabs.
+
+This is where the reference's per-ray work is hoisted to scene-build time:
+
+  * group transforms are already pushed into leaves by the builder
+    (reference: src/shape.rs:207-218 does the same push-down);
+  * every inverse and inverse-transpose is precomputed ONCE in float64 on the
+    host (the reference recomputes the inverse per intersection call —
+    src/shape.rs:249-253 — despite its cached field);
+  * triangle vertices are baked into world space, so mesh intersection needs
+    no per-ray transform at all (valid because t is invariant under the
+    object-to-world map when the direction is not renormalized —
+    src/ray.rs:19-24);
+  * the two-level pattern transform chain (src/pattern.rs:98-103) is
+    precomposed into a single affine per object.
+
+The result is a pytree of arrays (`Scene`) plus hashable static metadata
+(`SceneStatic`) so the whole scene can be a jit argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import patterns as pattern_ops
+from .shapes import KIND_CODES, Shape, triangle_edges
+from .world import World
+
+# Infinite cylinder/cone extents are clamped to +-Y_INF so f32 arithmetic on
+# the params stays finite. No scene approaches this scale.
+Y_INF = 1e9
+
+
+class SceneStatic(NamedTuple):
+    """Hashable compile-time facts used to prune the traced graph."""
+
+    n_prims: int
+    n_tris: int
+    n_objects: int
+    refr_prim_ids: Tuple[int, ...]  # analytic prims with ior != 1 or transparency > 0
+    any_reflective: bool
+    any_refractive: bool
+    any_pattern: bool
+
+
+@dataclasses.dataclass
+class Scene:
+    """SoA scene. N analytic prims, T triangles, O objects (N + mesh leaves)."""
+
+    # analytic primitives
+    prim_kind: jnp.ndarray   # (N,) i32: 0 sphere 1 plane 2 cube 3 cylinder 4 cone
+    prim_inv: jnp.ndarray    # (N, 3, 4) world->object affine
+    prim_invT: jnp.ndarray   # (N, 3, 3) inverse-transpose linear part
+    prim_params: jnp.ndarray  # (N, 3): ymin, ymax, capped
+    prim_obj: jnp.ndarray    # (N,) i32 object ids
+
+    # triangles (baked to world space)
+    tri_p1: jnp.ndarray      # (T, 3)
+    tri_e1: jnp.ndarray      # (T, 3)
+    tri_e2: jnp.ndarray      # (T, 3)
+    tri_n: jnp.ndarray       # (T, 3) unit world normals
+    tri_obj: jnp.ndarray     # (T,) i32 object ids
+
+    # per-object material table (reference: src/material.rs:3-29)
+    mat_color: jnp.ndarray        # (O, 3)
+    mat_ambient: jnp.ndarray      # (O,)
+    mat_diffuse: jnp.ndarray      # (O,)
+    mat_specular: jnp.ndarray     # (O,)
+    mat_shininess: jnp.ndarray    # (O,)
+    mat_reflective: jnp.ndarray   # (O,)
+    mat_transparency: jnp.ndarray  # (O,)
+    mat_ior: jnp.ndarray          # (O,)
+
+    # per-object pattern table; kind NONE rows carry the material color in
+    # pat_a so pattern evaluation doubles as the pattern-or-color select
+    # (reference: src/material.rs:42-46)
+    pat_kind: jnp.ndarray    # (O,) i32
+    pat_a: jnp.ndarray       # (O, 3)
+    pat_b: jnp.ndarray       # (O, 3)
+    pat_inv: jnp.ndarray     # (O, 3, 4) pattern_inv @ object_inv
+
+    # the single point light (reference: src/light.rs:5-8)
+    light_pos: jnp.ndarray        # (3,)
+    light_intensity: jnp.ndarray  # (3,)
+
+    static: SceneStatic = dataclasses.field(
+        default=None, metadata=dict(static=True))
+
+
+jax.tree_util.register_dataclass(
+    Scene,
+    data_fields=[f.name for f in dataclasses.fields(Scene) if f.name != "static"],
+    meta_fields=["static"],
+)
+
+
+def _flatten(world: World):
+    leaves = []
+
+    def walk(s: Shape):
+        if s.kind == "group":
+            for c in s.children:
+                walk(c)
+        else:
+            leaves.append(s)
+
+    for obj in world.objects:
+        walk(obj)
+    return leaves
+
+
+def compile_scene(world: World, dtype=jnp.float32) -> Scene:
+    dtype = jnp.dtype(dtype)
+    leaves = _flatten(world)
+    prims = [s for s in leaves if s.kind in KIND_CODES]
+    tri_leaves = [s for s in leaves if s.kind in ("triangle", "mesh")]
+    objects = prims + tri_leaves  # object-id space
+
+    n_prims = len(prims)
+    n_objects = len(objects)
+
+    # --- analytic prims -----------------------------------------------------
+    prim_kind = np.array([KIND_CODES[s.kind] for s in prims], dtype=np.int32)
+    prim_obj = np.arange(n_prims, dtype=np.int32)
+    prim_inv = np.zeros((n_prims, 3, 4))
+    prim_invT = np.zeros((n_prims, 3, 3))
+    prim_params = np.zeros((n_prims, 3))
+    inv_cache = {}
+
+    def inv_of(s: Shape) -> np.ndarray:
+        key = id(s)
+        if key not in inv_cache:
+            inv_cache[key] = np.linalg.inv(s.transform)
+        return inv_cache[key]
+
+    for i, s in enumerate(prims):
+        inv = inv_of(s)
+        prim_inv[i] = inv[:3, :4]
+        prim_invT[i] = inv[:3, :3].T
+        prim_params[i] = [
+            np.clip(s.minimum, -Y_INF, Y_INF),
+            np.clip(s.maximum, -Y_INF, Y_INF),
+            1.0 if s.capped else 0.0,
+        ]
+
+    # --- triangles ----------------------------------------------------------
+    tp1, te1, te2, tn, tobj = [], [], [], [], []
+    for li, s in enumerate(tri_leaves):
+        obj_id = n_prims + li
+        if s.kind == "triangle":
+            v1 = s.p1[None, :]
+            v2 = s.p2[None, :]
+            v3 = s.p3[None, :]
+        else:  # mesh
+            v1, v2, v3 = s.v1, s.v2, s.v3
+        # object-space edge/normal exactly as the reference triangle ctor
+        # (src/shape.rs:171-193), then transform:
+        _, _, n_obj = triangle_edges(v1, v2, v3)
+        m = s.transform
+        inv = inv_of(s)
+        w1 = v1 @ m[:3, :3].T + m[:3, 3]
+        w2 = v2 @ m[:3, :3].T + m[:3, 3]
+        w3 = v3 @ m[:3, :3].T + m[:3, 3]
+        # world normal = normalize(invT @ n_obj) (src/shape.rs:623-635)
+        nw = n_obj @ inv[:3, :3]  # (n @ invT.T) == n @ inv
+        norm = np.linalg.norm(nw, axis=-1, keepdims=True)
+        nw = np.divide(nw, norm, out=np.zeros_like(nw), where=norm != 0)
+        tp1.append(w1)
+        te1.append(w2 - w1)
+        te2.append(w3 - w1)
+        tn.append(nw)
+        tobj.append(np.full((len(w1),), obj_id, dtype=np.int32))
+
+    if tp1:
+        tri_p1 = np.concatenate(tp1)
+        tri_e1 = np.concatenate(te1)
+        tri_e2 = np.concatenate(te2)
+        tri_n = np.concatenate(tn)
+        tri_obj = np.concatenate(tobj)
+    else:
+        tri_p1 = tri_e1 = tri_e2 = tri_n = np.zeros((0, 3))
+        tri_obj = np.zeros((0,), dtype=np.int32)
+    n_tris = len(tri_p1)
+
+    # --- per-object material/pattern tables ---------------------------------
+    def col(getter, default=0.0):
+        return np.array([getter(o.material) for o in objects]) if objects else np.zeros((0,))
+
+    mat_color = (
+        np.array([o.material.color for o in objects]) if objects else np.zeros((0, 3))
+    )
+    mat_ambient = col(lambda m: m.ambient)
+    mat_diffuse = col(lambda m: m.diffuse)
+    mat_specular = col(lambda m: m.specular)
+    mat_shininess = col(lambda m: m.shininess)
+    mat_reflective = col(lambda m: m.reflective)
+    mat_transparency = col(lambda m: m.transparency)
+    mat_ior = col(lambda m: m.refractive_index)
+
+    pat_kind = np.full((n_objects,), pattern_ops.NONE, dtype=np.int32)
+    pat_a = mat_color.copy() if n_objects else np.zeros((0, 3))
+    pat_b = np.zeros((n_objects, 3))
+    pat_inv = np.zeros((n_objects, 3, 4))
+    for i, o in enumerate(objects):
+        obj_inv = inv_of(o)
+        p = o.material.pattern
+        if p is None:
+            pat_inv[i] = obj_inv[:3, :4]
+        else:
+            pat_kind[i] = p.kind
+            pat_a[i] = p.a
+            pat_b[i] = p.b
+            pat_inv[i] = (np.linalg.inv(p.transform) @ obj_inv)[:3, :4]
+
+    refr_ids = tuple(
+        int(i)
+        for i, s in enumerate(prims)
+        if s.material.transparency > 0.0 or s.material.refractive_index != 1.0
+    )
+
+    static = SceneStatic(
+        n_prims=n_prims,
+        n_tris=n_tris,
+        n_objects=n_objects,
+        refr_prim_ids=refr_ids,
+        any_reflective=any(o.material.reflective > 0.0 for o in objects),
+        any_refractive=any(o.material.transparency > 0.0 for o in objects),
+        any_pattern=any(o.material.pattern is not None for o in objects),
+    )
+
+    f = lambda a: jnp.asarray(a, dtype=dtype)
+    i32 = lambda a: jnp.asarray(a, dtype=jnp.int32)
+    return Scene(
+        prim_kind=i32(prim_kind),
+        prim_inv=f(prim_inv),
+        prim_invT=f(prim_invT),
+        prim_params=f(prim_params),
+        prim_obj=i32(prim_obj),
+        tri_p1=f(tri_p1),
+        tri_e1=f(tri_e1),
+        tri_e2=f(tri_e2),
+        tri_n=f(tri_n),
+        tri_obj=i32(tri_obj),
+        mat_color=f(mat_color),
+        mat_ambient=f(mat_ambient),
+        mat_diffuse=f(mat_diffuse),
+        mat_specular=f(mat_specular),
+        mat_shininess=f(mat_shininess),
+        mat_reflective=f(mat_reflective),
+        mat_transparency=f(mat_transparency),
+        mat_ior=f(mat_ior),
+        pat_kind=i32(pat_kind),
+        pat_a=f(pat_a),
+        pat_b=f(pat_b),
+        pat_inv=f(pat_inv),
+        light_pos=f(np.asarray(world.light.position, dtype=np.float64)),
+        light_intensity=f(np.asarray(world.light.intensity, dtype=np.float64)),
+        static=static,
+    )
