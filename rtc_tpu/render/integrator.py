@@ -222,6 +222,46 @@ def refraction_indices(scene: Scene, o, d, hit: HitInfo, cfg: RenderConfig):
     return n1, n2
 
 
+class Comps(NamedTuple):
+    """prepare_computations equivalent (reference: src/intersection.rs:17-77)."""
+
+    point: jnp.ndarray
+    eyev: jnp.ndarray
+    normalv: jnp.ndarray   # flipped toward the eye when inside
+    inside: jnp.ndarray
+    over_point: jnp.ndarray
+    under_point: jnp.ndarray
+    reflectv: jnp.ndarray
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+
+
+def prepare_hit(scene: Scene, o, d, hit: HitInfo, cfg: RenderConfig) -> Comps:
+    """Derive the shading frame for a wavefront of hits
+    (reference: src/intersection.rs:17-77). Misses carry finite dummy values;
+    callers mask on hit.valid."""
+    eps = cfg.epsilon
+    t_safe = jnp.where(hit.valid, hit.t, 1.0)
+    point = o + d * t_safe[:, None]
+    eyev = -d
+    n_raw = normal_at(scene, hit, point, eps)
+    inside = dot(n_raw, eyev) < 0.0
+    normalv = jnp.where(inside[:, None], -n_raw, n_raw)
+    reflectv = reflect(d, normalv)
+    n1, n2 = refraction_indices(scene, o, d, hit, cfg)
+    return Comps(
+        point=point,
+        eyev=eyev,
+        normalv=normalv,
+        inside=inside,
+        over_point=point + normalv * eps,
+        under_point=point - normalv * eps,
+        reflectv=reflectv,
+        n1=n1,
+        n2=n2,
+    )
+
+
 def schlick(cos_eye_normal, n1, n2):
     """Fresnel approximation (reference: src/intersection.rs:107-128)."""
     cos = cos_eye_normal
@@ -249,15 +289,9 @@ def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None):
 
     hit = closest_hit(scene, o, d, cfg)
     valid = hit.valid
-    t_safe = jnp.where(valid, hit.t, 1.0)
-    point = o + d * t_safe[:, None]
-    eyev = -d
-
-    n_raw = normal_at(scene, hit, point, eps)
-    inside = dot(n_raw, eyev) < 0.0
-    normalv = jnp.where(inside[:, None], -n_raw, n_raw)  # (src/intersection.rs:22-26)
-    over = point + normalv * eps
-    under = point - normalv * eps
+    comps = prepare_hit(scene, o, d, hit, cfg)
+    point, eyev, normalv = comps.point, comps.eyev, comps.normalv
+    over, under = comps.over_point, comps.under_point
 
     obj = hit.obj
     # pattern-space sampling; NONE rows resolve to the material color
@@ -289,13 +323,11 @@ def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None):
 
     refl = jnp.zeros_like(o)
     if can_branch and st.any_reflective:
-        reflectv = reflect(d, normalv)  # (src/intersection.rs:27, world.rs:125)
-        refl = color_at(scene, over, reflectv, cfg, budget - 3) * reflective[:, None]
+        # (src/intersection.rs:27, world.rs:125)
+        refl = color_at(scene, over, comps.reflectv, cfg, budget - 3) * reflective[:, None]
 
     refr = jnp.zeros_like(o)
-    n1 = n2 = None
-    if (can_branch and st.any_refractive) or (st.any_reflective and st.any_refractive):
-        n1, n2 = refraction_indices(scene, o, d, hit, cfg)
+    n1, n2 = comps.n1, comps.n2
     if can_branch and st.any_refractive:
         # Snell construction (reference: src/world.rs:140-162)
         n_ratio = n1 / n2

@@ -1,0 +1,147 @@
+"""Intersection/Computations conformance tests
+(reference: src/intersection.rs:131-386, 16 tests)."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from rtc_tpu import testing
+from rtc_tpu.ops import transforms as X
+from rtc_tpu.render import integrator
+from rtc_tpu.scene import shapes as S
+from rtc_tpu.scene.compile import compile_scene
+from rtc_tpu.scene.world import World
+
+from conftest import assert_almost_eq
+
+EPSILON = 1e-5
+S2 = math.sqrt(2.0)
+
+
+# --- hit() selection (src/intersection.rs:158-200) --------------------------
+
+def test_the_hit_when_all_intersections_have_positive_t():
+    assert testing.hit([1.0, 2.0]) == 0
+
+
+def test_the_hit_when_some_intersections_have_negative_t():
+    assert testing.hit([-1.0, 1.0]) == 1
+
+
+def test_the_hit_when_all_intersections_have_negative_t():
+    assert testing.hit([-2.0, -1.0]) is None
+
+
+def test_the_hit_is_always_the_lowest_nonnegative_intersection():
+    assert testing.hit([5.0, 7.0, -3.0, 2.0]) == 3
+
+
+# --- prepare_computations ----------------------------------------------------
+
+def test_precomputing_the_state_of_an_intersection():
+    scene = compile_scene(World(objects=[S.sphere()]), dtype=np.float64)
+    c = testing.comps_at(scene, [0, 0, -5], [0, 0, 1], 4.0)
+    assert_almost_eq(c.point, [0, 0, -1])
+    assert_almost_eq(c.eyev, [0, 0, -1])
+    assert_almost_eq(c.normalv, [0, 0, -1])
+    assert not bool(c.inside)
+
+
+def test_precomputing_the_reflection_vector():
+    scene = compile_scene(World(objects=[S.plane()]), dtype=np.float64)
+    c = testing.comps_at(scene, [0, 1, -1], [0, -S2 / 2, S2 / 2], S2)
+    assert_almost_eq(c.reflectv, [0, S2 / 2, S2 / 2])
+
+
+def test_the_hit_when_an_intersection_occurs_on_the_inside():
+    scene = compile_scene(World(objects=[S.sphere()]), dtype=np.float64)
+    c = testing.comps_at(scene, [0, 0, 0], [0, 0, 1], 1.0)
+    assert_almost_eq(c.point, [0, 0, 1])
+    assert_almost_eq(c.eyev, [0, 0, -1])
+    assert bool(c.inside)
+    # normal would have been (0, 0, 1) but is inverted
+    assert_almost_eq(c.normalv, [0, 0, -1])
+
+
+def test_the_hit_should_offset_the_point():
+    s = S.sphere()
+    s.set_transform(X.translation(0, 0, 1))
+    scene = compile_scene(World(objects=[s]), dtype=np.float64)
+    c = testing.comps_at(scene, [0, 0, -5], [0, 0, 1], 5.0)
+    assert c.over_point[2] < -EPSILON / 2
+    assert c.point[2] > c.over_point[2]
+
+
+def test_the_under_point_is_offset_below_the_surface():
+    s = S.glass_sphere()
+    s.set_transform(X.translation(0, 0, 1))
+    scene = compile_scene(World(objects=[s]), dtype=np.float64)
+    c = testing.comps_at(scene, [0, 0, -5], [0, 0, 1], 5.0)
+    assert c.under_point[2] > EPSILON / 2
+    assert c.point[2] < c.under_point[2]
+
+
+def _glass_ladder():
+    """Three nested glass spheres (src/intersection.rs:287-325)."""
+    a = S.glass_sphere(transform=X.scaling(2, 2, 2))
+    a.material.refractive_index = 1.5
+    b = S.glass_sphere(transform=X.translation(0, 0, -0.25))
+    b.material.refractive_index = 2.0
+    c = S.glass_sphere(transform=X.translation(0, 0, 0.25))
+    c.material.refractive_index = 2.5
+    return compile_scene(World(objects=[a, b, c]), dtype=np.float64)
+
+
+def test_finding_n1_and_n2_at_various_intersections():
+    scene = _glass_ladder()
+    # sorted intersections: (t, prim)
+    xs = [(2.0, 0), (2.75, 1), (3.25, 2), (4.75, 1), (5.25, 2), (6.0, 0)]
+    expected = [
+        (1.0, 1.5),
+        (1.5, 2.0),
+        (2.0, 2.5),
+        (2.5, 2.5),
+        (2.5, 1.5),
+        (1.5, 1.0),
+    ]
+    for (t, prim), (n1, n2) in zip(xs, expected):
+        c = testing.comps_at(scene, [0, 0, -4], [0, 0, 1], t, prim_id=prim)
+        assert_almost_eq(c.n1, n1)
+        assert_almost_eq(c.n2, n2)
+
+
+# --- Schlick (src/intersection.rs:340-379) -----------------------------------
+
+def _glass_scene():
+    return compile_scene(World(objects=[S.glass_sphere()]), dtype=np.float64)
+
+
+def _schlick(c):
+    return float(
+        np.asarray(
+            integrator.schlick(
+                jnp.asarray([np.dot(c.eyev, c.normalv)]),
+                jnp.asarray([c.n1]),
+                jnp.asarray([c.n2]),
+            )
+        )[0]
+    )
+
+
+def test_the_schlick_approximation_under_total_internal_reflection():
+    scene = _glass_scene()
+    c = testing.comps_at(scene, [0, 0, S2 / 2], [0, 1, 0], S2 / 2)
+    assert _schlick(c) == 1.0
+
+
+def test_the_schlick_approximation_with_a_perpendicular_viewing_angle():
+    scene = _glass_scene()
+    c = testing.comps_at(scene, [0, 0, 0], [0, 1, 0], 1.0)
+    assert_almost_eq(_schlick(c), 0.04)
+
+
+def test_the_schlick_approximation_with_small_angle_and_n2_gt_n1():
+    scene = _glass_scene()
+    c = testing.comps_at(scene, [0, 0.99, -2], [0, 0, 1], 1.8589)
+    assert_almost_eq(_schlick(c), 0.48873)
