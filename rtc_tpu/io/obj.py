@@ -1,0 +1,109 @@
+"""Wavefront OBJ parser (reference: src/obj_file.rs).
+
+Host-side, numpy-native. Supports the reference's subset exactly:
+  * `v x y z` vertices (src/obj_file.rs:39-56)
+  * `f i j k [l ...]` faces with fan triangulation of >3-gons
+    (src/obj_file.rs:57-95); plain 1-based indices only — the reference
+    panics on `v/vt/vn` forms (its book tests for normals are commented out,
+    src/obj_file.rs:295-335); here the same inputs raise ValueError
+  * `g name` named groups (src/obj_file.rs:96-106)
+  * anything else counts toward `ignored_lines` (src/obj_file.rs:107)
+
+The output groups become ONE `mesh` builder shape each (a triangle block
+sharing transform/material) instead of thousands of Triangle leaves — the
+TPU-native SoA equivalent of the reference's group-of-triangles tree.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..scene.shapes import Shape, group, mesh
+
+
+class Parser:
+    def __init__(self) -> None:
+        self.vertices_list: List[np.ndarray] = []
+        self.ignored_lines: int = 0
+        # face index triples per group; None key == default group
+        self.default_faces: List[tuple] = []
+        self.named_faces: Dict[str, List[tuple]] = {}
+        self._group_order: List[str] = []
+
+    # -- reference API -------------------------------------------------------
+    @classmethod
+    def from_obj_file(cls, filename: str) -> "Parser":
+        with open(filename, "r") as f:
+            return cls.from_obj_str(f.read())
+
+    @classmethod
+    def from_obj_str(cls, text: str) -> "Parser":
+        self = cls()
+        current: Optional[str] = None
+        for line in text.splitlines():
+            tokens = line.split()
+            if not tokens:
+                continue
+            cmd = tokens[0]
+            if cmd == "v":
+                if len(tokens) < 4:
+                    raise ValueError(f'vertex needs x y z in "{line}"')
+                self.vertices_list.append(
+                    np.array([float(tokens[1]), float(tokens[2]), float(tokens[3])])
+                )
+            elif cmd == "f":
+                idx = [int(t) for t in tokens[1:]]  # raises on "1/2/3" like the reference
+                if len(idx) < 3:
+                    raise ValueError(f'face needs at least 3 vertices in "{line}"')
+                v1 = idx[0]
+                # fan triangulation (src/obj_file.rs:70-94)
+                for a, b in zip(idx[1:-1], idx[2:]):
+                    tri = (v1, a, b)
+                    if current is None:
+                        self.default_faces.append(tri)
+                    else:
+                        self.named_faces[current].append(tri)
+            elif cmd == "g":
+                if len(tokens) < 2:
+                    raise ValueError(f'group needs a name in "{line}"')
+                name = tokens[1]
+                # a repeated name resets the group, like HashMap::insert
+                # (src/obj_file.rs:101-103)
+                self.named_faces[name] = []
+                if name not in self._group_order:
+                    self._group_order.append(name)
+                current = name
+            else:
+                self.ignored_lines += 1
+        return self
+
+    def vertices(self, one_based_index: int) -> np.ndarray:
+        """1-based lookup (src/obj_file.rs:115-117)."""
+        return self.vertices_list[one_based_index - 1]
+
+    def _faces_to_mesh(self, faces: List[tuple]) -> Shape:
+        verts = np.stack(self.vertices_list) if self.vertices_list else np.zeros((0, 3))
+        tri = np.asarray(faces, dtype=np.int64).reshape(-1, 3) - 1
+        return mesh(verts[tri[:, 0]], verts[tri[:, 1]], verts[tri[:, 2]])
+
+    def group_names(self) -> List[str]:
+        return list(self._group_order)
+
+    def group_mesh(self, name: Optional[str] = None) -> Shape:
+        """The triangles of one group as a mesh shape; None == default group."""
+        faces = self.default_faces if name is None else self.named_faces[name]
+        return self._faces_to_mesh(faces)
+
+    def obj_to_group(self) -> Shape:
+        """Wrap default + named groups into one group (src/obj_file.rs:120-128)."""
+        children = [self.group_mesh(None)]
+        for name in self._group_order:
+            children.append(self.group_mesh(name))
+        return group(children)
+
+
+def load_obj(filename: str) -> Shape:
+    """Convenience: parse + wrap in a single call."""
+    return Parser.from_obj_file(filename).obj_to_group()
