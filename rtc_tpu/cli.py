@@ -39,6 +39,9 @@ def main(argv=None) -> int:
     parser.add_argument("--list", action="store_true", help="list scenes")
     args = parser.parse_args(argv)
 
+    from .utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     from .models.scenes import REGISTRY
 
     if args.list:

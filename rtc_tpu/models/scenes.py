@@ -207,9 +207,11 @@ def single_sphere(width: int = 256):
 
 def three_spheres_world() -> World:
     """Multi-sphere world with floor plane, shadows, patterns (BASELINE config 2)."""
+    # checkers shifted off y=0 so the floor doesn't sit on a parity knife-edge
     floor = plane(material=Material(
         color=(1, 0.9, 0.9), specular=0.0,
-        pattern=checkers_pattern((1, 0.9, 0.9), (0.2, 0.2, 0.25))))
+        pattern=checkers_pattern((1, 0.9, 0.9), (0.2, 0.2, 0.25)).set_transform(
+            X.translation(0.0, 0.5, 0.0))))
     middle = sphere(transform=X.translation(-0.5, 1, 0.5), material=Material(
         color=(0.1, 1, 0.5), diffuse=0.7, specular=0.3,
         pattern=stripe_pattern((0.1, 1, 0.5), (0.9, 0.2, 0.2))))
@@ -230,7 +232,9 @@ def glass_spheres_world() -> World:
     from ..scene.shapes import glass_sphere
 
     floor = plane(material=Material(
-        pattern=checkers_pattern((0.8, 0.8, 0.8), (0.2, 0.2, 0.2)), reflective=0.2))
+        pattern=checkers_pattern((0.8, 0.8, 0.8), (0.2, 0.2, 0.2)).set_transform(
+            X.translation(0.0, 0.5, 0.0)),
+        reflective=0.2))
     outer = glass_sphere(transform=X.translation(0, 1, 0))
     outer.material.reflective = 0.9
     outer.material.color = (0.1, 0.1, 0.1)

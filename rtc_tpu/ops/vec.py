@@ -45,8 +45,14 @@ def reflect(v, n):
 
 
 def safe_sqrt(x):
-    """sqrt clamped at zero with a finite gradient everywhere."""
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    """sqrt clamped at zero with a FINITE gradient everywhere.
+
+    Plain sqrt(max(x, 0)) still has an infinite derivative at x == 0, which
+    turns into NaN through any chain rule with a zero factor (e.g. the
+    total-internal-reflection clamp). Double-where keeps the derivative 0 for
+    x <= 0."""
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
 
 
 def safe_div(num, den, eps=0.0):

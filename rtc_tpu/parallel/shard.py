@@ -1,0 +1,127 @@
+"""Sharded rendering over a device mesh with shard_map.
+
+Two axes (see parallel.mesh):
+  * rays sharded over 'rays' (data parallel — always);
+  * the triangle table optionally sharded over 'prims' (tensor parallel for
+    large scenes), with per-device partial closest-hits combined by a
+    min-by-t reduction over ICI (integrator._min_by_t_over_axis).
+
+Scene materials/patterns/analytic prims are small and replicated; only the
+triangle slabs shard. XLA inserts the collectives from the shard_map specs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..render import integrator
+from ..render.camera import Camera, camera_rays
+from ..scene.compile import Scene
+from ..utils.config import DEFAULT_CONFIG, RenderConfig
+
+_TRI_FIELDS = ("tri_p1", "tri_e1", "tri_e2", "tri_n", "tri_obj")
+
+
+def scene_pspecs(scene: Scene, shard_prims: bool) -> Scene:
+    """A Scene-shaped pytree of PartitionSpecs."""
+    specs = {}
+    for f in dataclasses.fields(Scene):
+        if f.name == "static":
+            continue
+        if shard_prims and f.name in _TRI_FIELDS:
+            arr = getattr(scene, f.name)
+            specs[f.name] = P("prims", *([None] * (arr.ndim - 1)))
+        else:
+            specs[f.name] = P()
+    return Scene(**specs, static=scene.static)
+
+
+def pad_tris(scene: Scene, multiple: int) -> Scene:
+    """Pad the triangle table with degenerate (never-hit) triangles so it
+    splits evenly across the 'prims' axis. Degenerate rows have zero edges,
+    so Möller-Trumbore's det-epsilon guard rejects them."""
+    n = scene.static.n_tris
+    if n % multiple == 0 and n > 0:
+        return scene
+    pad = multiple - (n % multiple) if n else multiple
+    repl = {}
+    for name in _TRI_FIELDS:
+        arr = getattr(scene, name)
+        widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+        repl[name] = jnp.pad(arr, widths)
+    static = scene.static._replace(n_tris=n + pad)
+    return dataclasses.replace(scene, **repl, static=static)
+
+
+def _tiled_color(scene: Scene, o, d, cfg: RenderConfig):
+    """Per-device tiled wavefront loop (same shape as renderer._render_rays)."""
+    n_rays = o.shape[0]
+    tile = min(cfg.ray_tile, n_rays)
+    n_tiles = -(-n_rays // tile)
+    pad = n_tiles * tile - n_rays
+    o = jnp.pad(o, ((0, pad), (0, 0)))
+    d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+
+    def one_tile(od):
+        ot, dt = od
+        return integrator.color_at(scene, ot, dt, cfg)
+
+    colors = jax.lax.map(
+        one_tile, (o.reshape(n_tiles, tile, 3), d.reshape(n_tiles, tile, 3))
+    )
+    return colors.reshape(-1, 3)[:n_rays]
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "shard_prims"))
+def _render_sharded_rays(scene: Scene, o, d, cfg: RenderConfig, mesh: Mesh,
+                         shard_prims: bool):
+    inner_cfg = dataclasses.replace(
+        cfg, prim_axis="prims" if shard_prims else None)
+
+    def shard_fn(scene_l, o_l, d_l):
+        return _tiled_color(scene_l, o_l, d_l, inner_cfg)
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(scene_pspecs(scene, shard_prims), P("rays"), P("rays")),
+        out_specs=P("rays"),
+        check_vma=False,
+    )(scene, o, d)
+
+
+def render_sharded(scene: Scene, camera: Camera, cfg: RenderConfig = DEFAULT_CONFIG,
+                   mesh: Mesh | None = None, shard_prims: bool = False):
+    """Render with rays sharded over mesh axis 'rays' (and optionally the
+    triangle table over 'prims'). Returns an (V, H, 3) image."""
+    from .mesh import make_mesh
+
+    mesh = mesh or make_mesh()
+    n_ray_shards = mesh.shape["rays"]
+    n_prim_shards = mesh.shape.get("prims", 1)
+
+    dtype = cfg.jnp_dtype()
+    if shard_prims and n_prim_shards > 1:
+        scene = pad_tris(scene, n_prim_shards)
+
+    o, d = camera_rays(
+        jnp.asarray(camera.transform_inverse, dtype),
+        camera.hsize, camera.vsize,
+        jnp.asarray(camera.half_width, dtype),
+        jnp.asarray(camera.half_height, dtype),
+        jnp.asarray(camera.pixel_size, dtype),
+        dtype,
+    )
+    n_rays = o.shape[0]
+    pad = (-n_rays) % n_ray_shards
+    o = jnp.pad(o, ((0, pad), (0, 0)))
+    d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+
+    colors = _render_sharded_rays(scene, o, d, cfg, mesh,
+                                  shard_prims and n_prim_shards > 1)
+    return colors[:n_rays].reshape(camera.vsize, camera.hsize, 3)

@@ -41,6 +41,9 @@ class HitInfo(NamedTuple):
     prim: jnp.ndarray     # (R,) i32 analytic prim id (clamped)
     tri: jnp.ndarray      # (R,) i32 triangle id (clamped)
     is_tri: jnp.ndarray   # (R,) bool
+    tri_n: jnp.ndarray    # (R, 3) winning triangle's world normal (pre-gathered
+                          # at closest-hit time so the payload survives the
+                          # cross-device min-reduction under primitive sharding)
 
 
 def _local_rays(inv, o, d):
@@ -107,7 +110,14 @@ def tri_candidates(scene: Scene, o, d, eps):
 
 def closest_hit(scene: Scene, o, d, cfg: RenderConfig) -> HitInfo:
     """World::intersect + Intersection::hit — global min over t >= 0
-    (reference: src/world.rs:43-54, src/intersection.rs:79-84)."""
+    (reference: src/world.rs:43-54, src/intersection.rs:79-84).
+
+    Under primitive sharding (cfg.prim_axis set inside shard_map), the
+    triangle table is the LOCAL shard; per-device best hits carry their
+    payload (t, object id, normal) and are combined with a min-by-t
+    reduction over the mesh axis — the ray-tracing analogue of
+    tensor-parallel partial results + all-reduce.
+    """
     R = o.shape[0]
     st = scene.static
     t_p = jnp.full((R,), BIG, o.dtype)
@@ -120,31 +130,51 @@ def closest_hit(scene: Scene, o, d, cfg: RenderConfig) -> HitInfo:
         idx_p = (idx_flat // 4).astype(jnp.int32)
     t_t = jnp.full((R,), BIG, o.dtype)
     idx_t = jnp.zeros((R,), jnp.int32)
+    tri_obj = jnp.zeros((R,), jnp.int32)
+    tri_n = jnp.zeros_like(o)
     if st.n_tris:
         t, v = tri_candidates(scene, o, d, cfg.epsilon)
         tt = jnp.where(v & (t >= 0.0), t, BIG)
         idx_t = jnp.argmin(tt, axis=1).astype(jnp.int32)
         t_t = jnp.take_along_axis(tt, idx_t[:, None], axis=1)[:, 0]
+        tri_obj = scene.tri_obj[idx_t]
+        tri_n = scene.tri_n[idx_t]
+        if cfg.prim_axis is not None:
+            t_t, tri_obj, tri_n = _min_by_t_over_axis(
+                cfg.prim_axis, t_t, tri_obj, tri_n)
 
     is_tri = t_t < t_p
     t_hit = jnp.where(is_tri, t_t, t_p)
     valid = t_hit < BIG * 0.5
-    if st.n_tris:
-        tri_obj = scene.tri_obj[idx_t]
-    else:
-        tri_obj = jnp.zeros((R,), jnp.int32)
     prim_obj = scene.prim_obj[idx_p] if st.n_prims else jnp.zeros((R,), jnp.int32)
     obj = jnp.where(is_tri, tri_obj, prim_obj)
-    return HitInfo(t=t_hit, valid=valid, obj=obj, prim=idx_p, tri=idx_t, is_tri=is_tri)
+    return HitInfo(t=t_hit, valid=valid, obj=obj, prim=idx_p, tri=idx_t,
+                   is_tri=is_tri, tri_n=tri_n)
+
+
+def _min_by_t_over_axis(axis_name: str, t, obj, n):
+    """Combine per-device closest-hit payloads: min t wins; ties break to the
+    lowest device index. Implemented as all_gather + local argmin (rather
+    than pmin) so the reduction is DIFFERENTIABLE — all_gather's transpose is
+    a reduce-scatter, letting hit-position gradients flow back to the shard
+    that owns the winning triangle."""
+    import jax
+
+    t_all = jax.lax.all_gather(t, axis_name)          # (D, R)
+    obj_all = jax.lax.all_gather(obj, axis_name)      # (D, R)
+    n_all = jax.lax.all_gather(n, axis_name)          # (D, R, 3)
+    win = jnp.argmin(t_all, axis=0)
+    t_min = jnp.take_along_axis(t_all, win[None, :], axis=0)[0]
+    obj_g = jnp.take_along_axis(obj_all, win[None, :], axis=0)[0]
+    n_g = jnp.take_along_axis(n_all, win[None, :, None], axis=0)[0]
+    return t_min, obj_g, n_g
 
 
 def normal_at(scene: Scene, hit: HitInfo, world_point, eps) -> jnp.ndarray:
     """World-space unit normal at the hit (reference: src/shape.rs:466-519)."""
     st = scene.static
-    if st.n_tris:
-        n_tri = scene.tri_n[hit.tri]
-    else:
-        n_tri = jnp.zeros_like(world_point)
+    # triangle normals were gathered at closest-hit time (see HitInfo.tri_n)
+    n_tri = hit.tri_n
 
     if st.n_prims:
         inv = scene.prim_inv[hit.prim]        # (R, 3, 4)
@@ -294,9 +324,13 @@ def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None):
     over, under = comps.over_point, comps.under_point
 
     obj = hit.obj
-    # pattern-space sampling; NONE rows resolve to the material color
+    # pattern-space sampling; pattern-less objects read the material color
+    # directly (keeping mat_color a live differentiable parameter)
+    pat_kind = scene.pat_kind[obj]
     pat_p = jnp.einsum("rij,rj->ri", scene.pat_inv[obj][:, :, :3], point) + scene.pat_inv[obj][:, :, 3]
-    base_color = patterns.color_at(pat_p, scene.pat_kind[obj], scene.pat_a[obj], scene.pat_b[obj])
+    base_color = patterns.color_at(pat_p, pat_kind, scene.pat_a[obj], scene.pat_b[obj])
+    base_color = jnp.where(
+        (pat_kind == patterns.NONE)[:, None], scene.mat_color[obj], base_color)
 
     shadowed = (
         is_shadowed(scene, over, cfg)

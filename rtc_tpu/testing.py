@@ -69,6 +69,7 @@ def normal_at(shape: Shape, point, dtype=jnp.float64):
         "normal_at helper expects a single-leaf shape"
     )
     is_tri = st.n_prims == 0
+    tri_n = scene.tri_n[0:1] if is_tri else jnp.zeros((1, 3), dtype)
     hit = integrator.HitInfo(
         t=jnp.zeros((1,), dtype),
         valid=jnp.ones((1,), bool),
@@ -76,6 +77,7 @@ def normal_at(shape: Shape, point, dtype=jnp.float64):
         prim=jnp.zeros((1,), jnp.int32),
         tri=jnp.zeros((1,), jnp.int32),
         is_tri=jnp.full((1,), is_tri),
+        tri_n=tri_n,
     )
     return np.asarray(integrator.normal_at(scene, hit, p, cfg.epsilon))[0]
 
@@ -121,6 +123,11 @@ def comps_at(scene, origin, direction, t, prim_id=0, is_tri=False, tri_id=0,
             else int(np.asarray(scene.prim_obj)[prim_id])
         )
     def mk_hit(tv):
+        tri_n = (
+            scene.tri_n[tri_id : tri_id + 1]
+            if (is_tri and scene.static.n_tris)
+            else jnp.zeros((1, 3), dtype)
+        )
         return integrator.HitInfo(
             t=jnp.asarray([tv], dtype=dtype),
             valid=jnp.ones((1,), bool),
@@ -128,6 +135,7 @@ def comps_at(scene, origin, direction, t, prim_id=0, is_tri=False, tri_id=0,
             prim=jnp.asarray([prim_id], jnp.int32),
             tri=jnp.asarray([tri_id], jnp.int32),
             is_tri=jnp.asarray([is_tri]),
+            tri_n=tri_n,
         )
 
     comps = integrator.prepare_hit(scene, o, d, mk_hit(t), cfg)
@@ -217,12 +225,16 @@ def shade_hit(scene, origin, direction, t, prim_id, remaining=5,
 
     pinv = np.asarray(scene.pat_inv)[obj]
     pat_p = pinv[:, :3] @ comps.point + pinv[:, 3]
-    base = pattern_ops.color_at(
-        jnp.asarray([pat_p], dtype=dtype),
-        jnp.asarray([np.asarray(scene.pat_kind)[obj]], jnp.int32),
-        jnp.asarray([np.asarray(scene.pat_a)[obj]], dtype=dtype),
-        jnp.asarray([np.asarray(scene.pat_b)[obj]], dtype=dtype),
-    )
+    kind = int(np.asarray(scene.pat_kind)[obj])
+    if kind == pattern_ops.NONE:
+        base = jnp.asarray([np.asarray(scene.mat_color)[obj]], dtype=dtype)
+    else:
+        base = pattern_ops.color_at(
+            jnp.asarray([pat_p], dtype=dtype),
+            jnp.asarray([kind], jnp.int32),
+            jnp.asarray([np.asarray(scene.pat_a)[obj]], dtype=dtype),
+            jnp.asarray([np.asarray(scene.pat_b)[obj]], dtype=dtype),
+        )
     shadowed = is_shadowed(scene, comps.over_point, dtype=dtype, cfg=cfg)
     surface = np.asarray(
         lighting_ops.lighting(

@@ -27,6 +27,8 @@ class RenderConfig:
         the (rays x triangles) working set in HBM.
       mesh_impl: 'bruteforce' | 'pallas' | 'auto' triangle intersector.
       shadows: enable shadow rays (reference always does).
+      prim_axis: mesh axis name the triangle table is sharded over (set by
+        parallel.shard inside shard_map; None = replicated scene).
     """
 
     max_depth: int = 5
@@ -35,6 +37,7 @@ class RenderConfig:
     ray_tile: int = 8192
     mesh_impl: str = "auto"
     shadows: bool = True
+    prim_axis: Optional[str] = None
 
     def jnp_dtype(self):
         import jax.numpy as jnp
