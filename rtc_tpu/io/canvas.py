@@ -64,8 +64,15 @@ class Canvas:
             out.write("\n")
 
     def save(self, path: str) -> None:
-        with open(path, "w") as f:
-            self.write_ppm(f)
+        from .. import native
+
+        data = native.encode_ppm(self.pixels) if native.available() else None
+        if data is not None:
+            with open(path, "wb") as f:
+                f.write(data)
+        else:
+            with open(path, "w") as f:
+                self.write_ppm(f)
 
 
 def write_ppm(image, path: str) -> None:

@@ -23,6 +23,31 @@ import numpy as np
 from ..scene.shapes import Shape, group, mesh
 
 
+def _try_native(text: str) -> Optional["Parser"]:
+    """Parse with the C++ runtime (native/rtc_native.cpp) when available;
+    ValueError propagates (same contract as the Python path)."""
+    from .. import native
+
+    if not native.available():
+        return None
+    parsed = native.parse_obj(text)
+    if parsed is None:
+        return None
+    verts, faces, fgroups, names, ignored = parsed
+    p = Parser()
+    p.vertices_list = list(verts)
+    p.ignored_lines = int(ignored)
+    p._group_order = list(names)
+    p.named_faces = {n: [] for n in names}
+    for (a, b, c), g in zip(faces + 1, fgroups):
+        tri = (int(a), int(b), int(c))
+        if g < 0:
+            p.default_faces.append(tri)
+        else:
+            p.named_faces[names[g]].append(tri)
+    return p
+
+
 class Parser:
     def __init__(self) -> None:
         self.vertices_list: List[np.ndarray] = []
@@ -40,6 +65,13 @@ class Parser:
 
     @classmethod
     def from_obj_str(cls, text: str) -> "Parser":
+        native_result = _try_native(text)
+        if native_result is not None:
+            return native_result
+        return cls._from_obj_str_py(text)
+
+    @classmethod
+    def _from_obj_str_py(cls, text: str) -> "Parser":
         self = cls()
         current: Optional[str] = None
         for line in text.splitlines():

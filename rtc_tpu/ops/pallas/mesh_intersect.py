@@ -1,0 +1,167 @@
+"""Pallas TPU kernel: two-level ray x triangle closest hit.
+
+The hot op of the whole framework (SURVEY.md §3.4: the reference walks a
+group tree per ray, src/shape.rs:399-436). TPU-native design:
+
+  * triangles live in VMEM as (3, T) SoA slabs — the whole cow mesh is
+    ~210 KB, far under the ~16 MB VMEM budget, so no HBM streaming is needed
+    per tile;
+  * rays are processed in tiles (grid dim 0); each tile keeps its running
+    (t_best, index_best) in registers/VMEM;
+  * level 1: every ray slab-tests each Morton cluster's AABB; a cluster is
+    skipped entirely (scalar branch via @pl.when) when NO ray in the tile
+    overlaps it — primary-ray tiles are coherent, so most clusters skip;
+  * level 2: Möller-Trumbore on the cluster's L triangles against the whole
+    tile, fully vectorized on the VPU as (RT, L) ops, masked min-reduce.
+
+The kernel is forward-only; the integrator recomputes a differentiable t for
+the winning triangle (gather + closed-form MT), so gradients are exact while
+the search itself stays out of the autodiff graph.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils.constants import BIG, EPSILON
+
+
+def _kernel(o_ref, d_ref, p1_ref, e1_ref, e2_ref, aabb_ref, t_ref, idx_ref,
+            *, n_clusters: int, leaf: int, eps: float):
+    ox, oy, oz = o_ref[0, :], o_ref[1, :], o_ref[2, :]
+    dx, dy, dz = d_ref[0, :], d_ref[1, :], d_ref[2, :]
+
+    # precompute safe inverse directions for the slab tests
+    big = jnp.float32(BIG)
+
+    def inv_dir(c):
+        near_zero = jnp.abs(c) < 1e-30
+        return jnp.where(near_zero, jnp.where(c >= 0, big, -big), 1.0 / jnp.where(near_zero, 1.0, c))
+
+    ix, iy, iz = inv_dir(dx), inv_dir(dy), inv_dir(dz)
+
+    rt = ox.shape[0]
+    t_best0 = jnp.full((rt,), big, jnp.float32)
+    idx_best0 = jnp.full((rt,), -1, jnp.int32)
+
+    def cluster_body(c, carry):
+        t_best, idx_best = carry
+        # --- level 1: AABB slab test for the whole tile ---------------------
+        lo_x, lo_y, lo_z = aabb_ref[0, c], aabb_ref[1, c], aabb_ref[2, c]
+        hi_x, hi_y, hi_z = aabb_ref[3, c], aabb_ref[4, c], aabb_ref[5, c]
+        tx1 = (lo_x - ox) * ix
+        tx2 = (hi_x - ox) * ix
+        ty1 = (lo_y - oy) * iy
+        ty2 = (hi_y - oy) * iy
+        tz1 = (lo_z - oz) * iz
+        tz2 = (hi_z - oz) * iz
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
+                           jnp.minimum(tz1, tz2))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
+                           jnp.maximum(tz1, tz2))
+        overlap = (tmax >= tmin) & (tmax >= 0.0) & (tmin < t_best)
+        any_hit = jnp.any(overlap)
+
+        def test_cluster(carry):
+            t_best, idx_best = carry
+            s = pl.ds(pl.multiple_of(c * leaf, leaf), leaf)
+            p1x, p1y, p1z = p1_ref[0, s], p1_ref[1, s], p1_ref[2, s]
+            e1x, e1y, e1z = e1_ref[0, s], e1_ref[1, s], e1_ref[2, s]
+            e2x, e2y, e2z = e2_ref[0, s], e2_ref[1, s], e2_ref[2, s]
+
+            # Möller-Trumbore, (RT, L) batched (reference: src/shape.rs:437-459)
+            hx = dy[:, None] * e2z[None, :] - dz[:, None] * e2y[None, :]
+            hy = dz[:, None] * e2x[None, :] - dx[:, None] * e2z[None, :]
+            hz = dx[:, None] * e2y[None, :] - dy[:, None] * e2x[None, :]
+            det = e1x[None, :] * hx + e1y[None, :] * hy + e1z[None, :] * hz
+            det_ok = jnp.abs(det) >= eps
+            f = 1.0 / jnp.where(det_ok, det, 1.0)
+            sx = ox[:, None] - p1x[None, :]
+            sy = oy[:, None] - p1y[None, :]
+            sz = oz[:, None] - p1z[None, :]
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z[None, :] - sz * e1y[None, :]
+            qy = sz * e1x[None, :] - sx * e1z[None, :]
+            qz = sx * e1y[None, :] - sy * e1x[None, :]
+            v = f * (dx[:, None] * qx + dy[:, None] * qy + dz[:, None] * qz)
+            t = f * (e2x[None, :] * qx + e2y[None, :] * qy + e2z[None, :] * qz)
+            ok = (
+                det_ok
+                & (u >= 0.0) & (u <= 1.0)
+                & (v >= 0.0) & (u + v <= 1.0)
+                & (t >= 0.0)
+            )
+            tt = jnp.where(ok, t, big)
+            tmin_c = jnp.min(tt, axis=1)
+            # argmin via masked iota-min (Mosaic-friendly)
+            lane = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1)
+            local = jnp.min(
+                jnp.where(tt <= tmin_c[:, None], lane, jnp.int32(2**30)), axis=1)
+            better = tmin_c < t_best
+            t_best = jnp.where(better, tmin_c, t_best)
+            idx_best = jnp.where(better, (c * leaf + local).astype(jnp.int32), idx_best)
+            return t_best, idx_best
+
+        return jax.lax.cond(any_hit, test_cluster, lambda cr: cr, (t_best, idx_best))
+
+    t_best, idx_best = jax.lax.fori_loop(
+        0, n_clusters, cluster_body, (t_best0, idx_best0))
+    t_ref[0, :] = t_best
+    idx_ref[0, :] = idx_best
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_clusters", "leaf", "ray_tile", "eps", "interpret"),
+)
+def mesh_closest_hit_pallas(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
+                            n_clusters: int, leaf: int, ray_tile: int = 512,
+                            eps: float = EPSILON, interpret: bool = False):
+    """Closest triangle hit for a ray wavefront.
+
+    o/d: (R, 3) f32. tri_*: (T, 3) f32 with T == n_clusters * leaf.
+    cluster_aabb: (C, 6). Returns (t (R,), idx (R,)); idx == -1 for miss.
+    """
+    R = o.shape[0]
+    rt = min(ray_tile, max(R, 128))
+    pad = (-R) % rt
+    o_p = jnp.pad(o, ((0, pad), (0, 0)))
+    d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+    n_tiles = (R + pad) // rt
+
+    o_t = o_p.astype(jnp.float32).T          # (3, R')
+    d_t = d_p.astype(jnp.float32).T
+    p1_t = tri_p1.astype(jnp.float32).T      # (3, T)
+    e1_t = tri_e1.astype(jnp.float32).T
+    e2_t = tri_e2.astype(jnp.float32).T
+    aabb_t = cluster_aabb.astype(jnp.float32).T  # (6, C)
+
+    kernel = functools.partial(_kernel, n_clusters=n_clusters, leaf=leaf, eps=eps)
+    t, idx = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((3, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(p1_t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(e1_t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(e2_t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            # AABBs are read as scalars with a dynamic cluster index -> SMEM
+            pl.BlockSpec(aabb_t.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, R + pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, R + pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(o_t, d_t, p1_t, e1_t, e2_t, aabb_t)
+    return t[0, :R].astype(o.dtype), idx[0, :R]

@@ -108,6 +108,70 @@ def tri_candidates(scene: Scene, o, d, eps):
     return t, valid
 
 
+def _resolve_mesh_impl(scene: Scene, cfg: RenderConfig, dtype) -> str:
+    impl = cfg.mesh_impl
+    if impl == "auto":
+        import jax
+
+        ok = (
+            scene.static.n_clusters > 0
+            and cfg.prim_axis is None
+            and dtype == jnp.float32
+            and jax.default_backend() != "cpu"
+        )
+        impl = "pallas" if ok else "bruteforce"
+    if impl in ("pallas", "pallas_interpret") and not scene.static.n_clusters:
+        impl = "bruteforce"
+    return impl
+
+
+def mesh_closest(scene: Scene, o, d, cfg: RenderConfig):
+    """Closest triangle hit: (t, idx); t == BIG and idx == 0 on miss.
+
+    'pallas' runs the two-level VMEM kernel (forward-only) and then
+    recomputes t differentiably for the winning triangle — a single gathered
+    Möller-Trumbore evaluation — so autodiff sees a closed-form t while the
+    O(R x T) search stays out of the graph. 'bruteforce' is the pure-jnp
+    masked sweep (differentiable as-is, used on CPU, in f64 conformance mode,
+    and under primitive sharding).
+    """
+    import jax
+
+    R = o.shape[0]
+    impl = _resolve_mesh_impl(scene, cfg, o.dtype)
+
+    if impl in ("pallas", "pallas_interpret"):
+        from ..ops.pallas.mesh_intersect import mesh_closest_hit_pallas
+
+        t_fwd, idx = mesh_closest_hit_pallas(
+            jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
+            jax.lax.stop_gradient(scene.tri_p1),
+            jax.lax.stop_gradient(scene.tri_e1),
+            jax.lax.stop_gradient(scene.tri_e2),
+            jax.lax.stop_gradient(scene.cluster_aabb),
+            n_clusters=scene.static.n_clusters,
+            leaf=scene.static.cluster_size,
+            ray_tile=min(512, max(128, R)),
+            eps=cfg.epsilon,
+            interpret=(impl == "pallas_interpret"),
+        )
+        hit_ok = idx >= 0
+        idx_c = jnp.where(hit_ok, idx, 0)
+        # differentiable refinement at the winner
+        t_ref, valid_ref, _, _ = intersect.triangle(
+            o, d, scene.tri_p1[idx_c], scene.tri_e1[idx_c], scene.tri_e2[idx_c],
+            cfg.epsilon,
+        )
+        t = jnp.where(hit_ok & valid_ref & (t_ref >= 0.0), t_ref, BIG)
+        return t, idx_c
+
+    t, v = tri_candidates(scene, o, d, cfg.epsilon)
+    tt = jnp.where(v & (t >= 0.0), t, BIG)
+    idx = jnp.argmin(tt, axis=1).astype(jnp.int32)
+    t_min = jnp.take_along_axis(tt, idx[:, None], axis=1)[:, 0]
+    return t_min, idx
+
+
 def closest_hit(scene: Scene, o, d, cfg: RenderConfig) -> HitInfo:
     """World::intersect + Intersection::hit — global min over t >= 0
     (reference: src/world.rs:43-54, src/intersection.rs:79-84).
@@ -133,10 +197,7 @@ def closest_hit(scene: Scene, o, d, cfg: RenderConfig) -> HitInfo:
     tri_obj = jnp.zeros((R,), jnp.int32)
     tri_n = jnp.zeros_like(o)
     if st.n_tris:
-        t, v = tri_candidates(scene, o, d, cfg.epsilon)
-        tt = jnp.where(v & (t >= 0.0), t, BIG)
-        idx_t = jnp.argmin(tt, axis=1).astype(jnp.int32)
-        t_t = jnp.take_along_axis(tt, idx_t[:, None], axis=1)[:, 0]
+        t_t, idx_t = mesh_closest(scene, o, d, cfg)
         tri_obj = scene.tri_obj[idx_t]
         tri_n = scene.tri_n[idx_t]
         if cfg.prim_axis is not None:

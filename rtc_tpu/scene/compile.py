@@ -46,6 +46,8 @@ class SceneStatic(NamedTuple):
     any_reflective: bool
     any_refractive: bool
     any_pattern: bool
+    n_clusters: int = 0       # triangle clusters for the 2-level Pallas path
+    cluster_size: int = 0     # triangles per cluster (tris padded to C*L)
 
 
 @dataclasses.dataclass
@@ -84,6 +86,10 @@ class Scene:
     pat_b: jnp.ndarray       # (O, 3)
     pat_inv: jnp.ndarray     # (O, 3, 4) pattern_inv @ object_inv
 
+    # triangle-cluster acceleration (Morton-ordered chunks; the TPU-native
+    # replacement for the reference's per-group AABB cull, src/shape.rs:399-425)
+    cluster_aabb: jnp.ndarray     # (C, 6): min xyz, max xyz
+
     # the single point light (reference: src/light.rs:5-8)
     light_pos: jnp.ndarray        # (3,)
     light_intensity: jnp.ndarray  # (3,)
@@ -97,6 +103,63 @@ jax.tree_util.register_dataclass(
     data_fields=[f.name for f in dataclasses.fields(Scene) if f.name != "static"],
     meta_fields=["static"],
 )
+
+
+def _spread_bits(v: np.ndarray) -> np.ndarray:
+    """Spread the low 10 bits of v so they occupy every 3rd bit."""
+    v = v.astype(np.uint64) & 0x3FF
+    v = (v | (v << 16)) & np.uint64(0x030000FF)
+    v = (v | (v << 8)) & np.uint64(0x0300F00F)
+    v = (v | (v << 4)) & np.uint64(0x030C30C3)
+    v = (v | (v << 2)) & np.uint64(0x09249249)
+    return v
+
+
+def _cluster_triangles(p1, e1, e2, n, obj, leaf: int):
+    """Morton-order the triangles and chunk into fixed-size clusters with
+    AABBs — the flat, gather-free acceleration structure the Pallas kernel
+    culls against (replacing the reference's per-ray group-AABB rebuild,
+    src/shape.rs:399-425 + bounds.rs)."""
+    t = len(p1)
+    centroid = p1 + (e1 + e2) / 3.0
+    from .. import native
+
+    order = native.morton_order(centroid) if native.available() else None
+    if order is None:
+        lo = centroid.min(axis=0)
+        ext = centroid.max(axis=0) - lo
+        ext = np.where(ext > 0, ext, 1.0)
+        q = np.clip((centroid - lo) / ext * 1023.0, 0, 1023).astype(np.uint64)
+        code = (
+            _spread_bits(q[:, 0])
+            | (_spread_bits(q[:, 1]) << np.uint64(1))
+            | (_spread_bits(q[:, 2]) << np.uint64(2))
+        )
+        order = np.argsort(code, kind="stable")
+    p1, e1, e2, n, obj = p1[order], e1[order], e2[order], n[order], obj[order]
+
+    pad = (-t) % leaf
+    if pad:
+        z3 = np.zeros((pad, 3))
+        p1 = np.concatenate([p1, z3])
+        e1 = np.concatenate([e1, z3])  # zero edges -> Möller-Trumbore det guard rejects
+        e2 = np.concatenate([e2, z3])
+        n = np.concatenate([n, z3])
+        obj = np.concatenate([obj, np.zeros((pad,), dtype=obj.dtype)])
+    n_clusters = len(p1) // leaf
+
+    aabb = np.zeros((n_clusters, 6))
+    for c in range(n_clusters):
+        s = slice(c * leaf, min((c + 1) * leaf, t))
+        if s.start >= t:
+            # all-padding cluster: empty box that no ray can hit
+            aabb[c, :3] = 1.0
+            aabb[c, 3:] = -1.0
+            continue
+        verts = np.concatenate([p1[s], p1[s] + e1[s], p1[s] + e2[s]])
+        aabb[c, :3] = verts.min(axis=0)
+        aabb[c, 3:] = verts.max(axis=0)
+    return p1, e1, e2, n, obj, aabb
 
 
 def _flatten(world: World):
@@ -114,7 +177,7 @@ def _flatten(world: World):
     return leaves
 
 
-def compile_scene(world: World, dtype=jnp.float32) -> Scene:
+def compile_scene(world: World, dtype=jnp.float32, cluster_size: int = 128) -> Scene:
     dtype = jnp.dtype(dtype)
     leaves = _flatten(world)
     prims = [s for s in leaves if s.kind in KIND_CODES]
@@ -185,6 +248,14 @@ def compile_scene(world: World, dtype=jnp.float32) -> Scene:
     else:
         tri_p1 = tri_e1 = tri_e2 = tri_n = np.zeros((0, 3))
         tri_obj = np.zeros((0,), dtype=np.int32)
+
+    n_clusters = 0
+    if len(tri_p1) and cluster_size:
+        tri_p1, tri_e1, tri_e2, tri_n, tri_obj, cluster_aabb = _cluster_triangles(
+            tri_p1, tri_e1, tri_e2, tri_n, tri_obj, cluster_size)
+        n_clusters = len(cluster_aabb)
+    else:
+        cluster_aabb = np.zeros((0, 6))
     n_tris = len(tri_p1)
 
     # --- per-object material/pattern tables ---------------------------------
@@ -231,6 +302,8 @@ def compile_scene(world: World, dtype=jnp.float32) -> Scene:
         any_reflective=any(o.material.reflective > 0.0 for o in objects),
         any_refractive=any(o.material.transparency > 0.0 for o in objects),
         any_pattern=any(o.material.pattern is not None for o in objects),
+        n_clusters=n_clusters,
+        cluster_size=cluster_size if n_clusters else 0,
     )
 
     f = lambda a: jnp.asarray(a, dtype=dtype)
@@ -246,6 +319,7 @@ def compile_scene(world: World, dtype=jnp.float32) -> Scene:
         tri_e2=f(tri_e2),
         tri_n=f(tri_n),
         tri_obj=i32(tri_obj),
+        cluster_aabb=f(cluster_aabb),
         mat_color=f(mat_color),
         mat_ambient=f(mat_ambient),
         mat_diffuse=f(mat_diffuse),

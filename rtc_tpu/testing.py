@@ -65,7 +65,8 @@ def normal_at(shape: Shape, point, dtype=jnp.float64):
     cfg = RenderConfig(dtype=str(np.dtype(dtype)))
     p = jnp.asarray([point], dtype=dtype)
     st = scene.static
-    assert st.n_prims + st.n_tris == 1 or st.n_prims == 1, (
+    # a single triangle pads to one whole cluster; the real tri stays at row 0
+    assert st.n_prims == 1 or (st.n_prims == 0 and st.n_tris >= 1), (
         "normal_at helper expects a single-leaf shape"
     )
     is_tri = st.n_prims == 0

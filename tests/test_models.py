@@ -34,5 +34,7 @@ def test_mesh_scene_renders_nonempty(name):
 def test_cow_scene_structure():
     world, _ = REGISTRY["cow"](40)
     scene = compile_scene(world, dtype=np.float32)
-    assert scene.static.n_tris == 5804
+    # 5804 real triangles padded up to a whole number of clusters
+    assert scene.static.n_tris >= 5804
+    assert scene.static.n_tris == scene.static.n_clusters * scene.static.cluster_size
     assert scene.static.any_reflective  # cow material reflective=0.2
