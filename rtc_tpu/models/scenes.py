@@ -190,6 +190,21 @@ def teapot(width: int = 400):
     return teapot_world(), _cam(width, [0, 4, -12], [0, 0, 0])
 
 
+def teapot_smooth_world() -> World:
+    """Teapot with computed per-vertex normals and Phong-interpolated
+    (smooth-triangle) shading — the capability the reference stubs out
+    (src/obj_file.rs:295-335) and BASELINE config 5 requires."""
+    t = Parser.from_obj_file(os.path.join(ASSETS, "teapot.obj")).obj_to_group(
+        smooth=True)
+    t.set_transform(X.translation(0, -1.5, 0))
+    t.set_material(Material(pattern=gradient_pattern((0, 1, 0), (0, 0, 1))))
+    return World(objects=[t], light=PointLight((0.0, 6.9, -5.0), (1.0, 1.0, 0.9)))
+
+
+def teapot_smooth(width: int = 400):
+    return teapot_smooth_world(), _cam(width, [0, 4, -12], [0, 0, 0])
+
+
 # --- benchmark extras (BASELINE.json configs) --------------------------------
 
 def single_sphere_world() -> World:
@@ -263,6 +278,7 @@ REGISTRY: Dict[str, Callable[[int], Tuple[World, Camera]]] = {
     "table": table,
     "cow": cow,
     "teapot": teapot,
+    "teapot_smooth": teapot_smooth,
     "single_sphere": single_sphere,
     "three_spheres": three_spheres,
     "glass_spheres": glass_spheres,

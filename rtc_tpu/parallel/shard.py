@@ -24,7 +24,8 @@ from ..render.camera import Camera, camera_rays
 from ..scene.compile import Scene
 from ..utils.config import DEFAULT_CONFIG, RenderConfig
 
-_TRI_FIELDS = ("tri_p1", "tri_e1", "tri_e2", "tri_n", "tri_obj")
+_TRI_FIELDS = ("tri_p1", "tri_e1", "tri_e2", "tri_n", "tri_obj",
+               "tri_sn1", "tri_sn2", "tri_sn3")
 
 
 def scene_pspecs(scene: Scene, shard_prims: bool) -> Scene:
@@ -33,8 +34,9 @@ def scene_pspecs(scene: Scene, shard_prims: bool) -> Scene:
     for f in dataclasses.fields(Scene):
         if f.name == "static":
             continue
-        if shard_prims and f.name in _TRI_FIELDS:
-            arr = getattr(scene, f.name)
+        arr = getattr(scene, f.name)
+        if (shard_prims and f.name in _TRI_FIELDS
+                and arr.shape[0] == scene.static.n_tris and arr.shape[0]):
             specs[f.name] = P("prims", *([None] * (arr.ndim - 1)))
         else:
             specs[f.name] = P()
@@ -52,6 +54,8 @@ def pad_tris(scene: Scene, multiple: int) -> Scene:
     repl = {}
     for name in _TRI_FIELDS:
         arr = getattr(scene, name)
+        if arr.shape[0] != n:  # e.g. empty smooth-normal slabs
+            continue
         widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
         repl[name] = jnp.pad(arr, widths)
     static = scene.static._replace(n_tris=n + pad)

@@ -199,7 +199,22 @@ def closest_hit(scene: Scene, o, d, cfg: RenderConfig) -> HitInfo:
     if st.n_tris:
         t_t, idx_t = mesh_closest(scene, o, d, cfg)
         tri_obj = scene.tri_obj[idx_t]
-        tri_n = scene.tri_n[idx_t]
+        if st.any_smooth:
+            # smooth-triangle shading: interpolate per-corner normals with the
+            # barycentric u/v at the winner (the feature the reference stubs
+            # out at src/intersection.rs:381-386); flat meshes carry the face
+            # normal in all three corners, making this a no-op for them
+            _, _, u, v = intersect.triangle(
+                o, d, scene.tri_p1[idx_t], scene.tri_e1[idx_t],
+                scene.tri_e2[idx_t], cfg.epsilon)
+            w0 = (1.0 - u - v)[:, None]
+            tri_n = normalize(
+                w0 * scene.tri_sn1[idx_t]
+                + u[:, None] * scene.tri_sn2[idx_t]
+                + v[:, None] * scene.tri_sn3[idx_t]
+            )
+        else:
+            tri_n = scene.tri_n[idx_t]
         if cfg.prim_axis is not None:
             t_t, tri_obj, tri_n = _min_by_t_over_axis(
                 cfg.prim_axis, t_t, tri_obj, tri_n)

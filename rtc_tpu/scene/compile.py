@@ -48,6 +48,7 @@ class SceneStatic(NamedTuple):
     any_pattern: bool
     n_clusters: int = 0       # triangle clusters for the 2-level Pallas path
     cluster_size: int = 0     # triangles per cluster (tris padded to C*L)
+    any_smooth: bool = False  # any mesh carries per-corner (smooth) normals
 
 
 @dataclasses.dataclass
@@ -65,8 +66,13 @@ class Scene:
     tri_p1: jnp.ndarray      # (T, 3)
     tri_e1: jnp.ndarray      # (T, 3)
     tri_e2: jnp.ndarray      # (T, 3)
-    tri_n: jnp.ndarray       # (T, 3) unit world normals
+    tri_n: jnp.ndarray       # (T, 3) unit world normals (flat/face)
     tri_obj: jnp.ndarray     # (T,) i32 object ids
+    # per-corner smooth normals ((0,3) when the scene has none); rows of
+    # flat-shaded meshes carry the face normal so interpolation is a no-op
+    tri_sn1: jnp.ndarray     # (T, 3)
+    tri_sn2: jnp.ndarray     # (T, 3)
+    tri_sn3: jnp.ndarray     # (T, 3)
 
     # per-object material table (reference: src/material.rs:3-29)
     mat_color: jnp.ndarray        # (O, 3)
@@ -115,7 +121,7 @@ def _spread_bits(v: np.ndarray) -> np.ndarray:
     return v
 
 
-def _cluster_triangles(p1, e1, e2, n, obj, leaf: int):
+def _cluster_triangles(p1, e1, e2, n, obj, sn, leaf: int):
     """Morton-order the triangles and chunk into fixed-size clusters with
     AABBs — the flat, gather-free acceleration structure the Pallas kernel
     culls against (replacing the reference's per-ray group-AABB rebuild,
@@ -137,6 +143,8 @@ def _cluster_triangles(p1, e1, e2, n, obj, leaf: int):
         )
         order = np.argsort(code, kind="stable")
     p1, e1, e2, n, obj = p1[order], e1[order], e2[order], n[order], obj[order]
+    if sn is not None:
+        sn = sn[:, order]
 
     pad = (-t) % leaf
     if pad:
@@ -146,6 +154,8 @@ def _cluster_triangles(p1, e1, e2, n, obj, leaf: int):
         e2 = np.concatenate([e2, z3])
         n = np.concatenate([n, z3])
         obj = np.concatenate([obj, np.zeros((pad,), dtype=obj.dtype)])
+        if sn is not None:
+            sn = np.concatenate([sn, np.zeros((3, pad, 3))], axis=1)
     n_clusters = len(p1) // leaf
 
     aabb = np.zeros((n_clusters, 6))
@@ -159,7 +169,7 @@ def _cluster_triangles(p1, e1, e2, n, obj, leaf: int):
         verts = np.concatenate([p1[s], p1[s] + e1[s], p1[s] + e2[s]])
         aabb[c, :3] = verts.min(axis=0)
         aabb[c, 3:] = verts.max(axis=0)
-    return p1, e1, e2, n, obj, aabb
+    return p1, e1, e2, n, obj, sn, aabb
 
 
 def _flatten(world: World):
@@ -212,7 +222,9 @@ def compile_scene(world: World, dtype=jnp.float32, cluster_size: int = 128) -> S
         ]
 
     # --- triangles ----------------------------------------------------------
-    tp1, te1, te2, tn, tobj = [], [], [], [], []
+    tp1, te1, te2, tn, tobj, tsn = [], [], [], [], [], []
+    any_smooth = any(
+        l.kind == "mesh" and l.vn1 is not None for l in tri_leaves)
     for li, s in enumerate(tri_leaves):
         obj_id = n_prims + li
         if s.kind == "triangle":
@@ -238,6 +250,17 @@ def compile_scene(world: World, dtype=jnp.float32, cluster_size: int = 128) -> S
         te2.append(w3 - w1)
         tn.append(nw)
         tobj.append(np.full((len(w1),), obj_id, dtype=np.int32))
+        if any_smooth:
+            if s.kind == "mesh" and s.vn1 is not None:
+                corners = []
+                for vn in (s.vn1, s.vn2, s.vn3):
+                    cw = vn @ inv[:3, :3]  # invT applied (row-vector form)
+                    nrm = np.linalg.norm(cw, axis=-1, keepdims=True)
+                    corners.append(
+                        np.divide(cw, nrm, out=np.zeros_like(cw), where=nrm != 0))
+                tsn.append(np.stack(corners))          # (3, T_leaf, 3)
+            else:
+                tsn.append(np.stack([nw, nw, nw]))      # flat: interp is a no-op
 
     if tp1:
         tri_p1 = np.concatenate(tp1)
@@ -249,14 +272,19 @@ def compile_scene(world: World, dtype=jnp.float32, cluster_size: int = 128) -> S
         tri_p1 = tri_e1 = tri_e2 = tri_n = np.zeros((0, 3))
         tri_obj = np.zeros((0,), dtype=np.int32)
 
+    tri_sn = np.concatenate(tsn, axis=1) if tsn else None
+
     n_clusters = 0
     if len(tri_p1) and cluster_size:
-        tri_p1, tri_e1, tri_e2, tri_n, tri_obj, cluster_aabb = _cluster_triangles(
-            tri_p1, tri_e1, tri_e2, tri_n, tri_obj, cluster_size)
+        (tri_p1, tri_e1, tri_e2, tri_n, tri_obj, tri_sn,
+         cluster_aabb) = _cluster_triangles(
+            tri_p1, tri_e1, tri_e2, tri_n, tri_obj, tri_sn, cluster_size)
         n_clusters = len(cluster_aabb)
     else:
         cluster_aabb = np.zeros((0, 6))
     n_tris = len(tri_p1)
+    if tri_sn is None:
+        tri_sn = np.zeros((3, 0, 3))
 
     # --- per-object material/pattern tables ---------------------------------
     def col(getter, default=0.0):
@@ -304,6 +332,7 @@ def compile_scene(world: World, dtype=jnp.float32, cluster_size: int = 128) -> S
         any_pattern=any(o.material.pattern is not None for o in objects),
         n_clusters=n_clusters,
         cluster_size=cluster_size if n_clusters else 0,
+        any_smooth=bool(any_smooth and n_tris),
     )
 
     f = lambda a: jnp.asarray(a, dtype=dtype)
@@ -319,6 +348,9 @@ def compile_scene(world: World, dtype=jnp.float32, cluster_size: int = 128) -> S
         tri_e2=f(tri_e2),
         tri_n=f(tri_n),
         tri_obj=i32(tri_obj),
+        tri_sn1=f(tri_sn[0]),
+        tri_sn2=f(tri_sn[1]),
+        tri_sn3=f(tri_sn[2]),
         cluster_aabb=f(cluster_aabb),
         mat_color=f(mat_color),
         mat_ambient=f(mat_ambient),

@@ -40,10 +40,15 @@ class Shape:
     p1: Optional[np.ndarray] = None
     p2: Optional[np.ndarray] = None
     p3: Optional[np.ndarray] = None
-    # mesh: (T, 3) vertex arrays
+    # mesh: (T, 3) vertex arrays (+ optional per-corner normals for smooth
+    # shading — the feature the reference stubs out at src/obj_file.rs:295-335
+    # and src/intersection.rs:381-386)
     v1: Optional[np.ndarray] = None
     v2: Optional[np.ndarray] = None
     v3: Optional[np.ndarray] = None
+    vn1: Optional[np.ndarray] = None
+    vn2: Optional[np.ndarray] = None
+    vn3: Optional[np.ndarray] = None
     _transformed: bool = False
 
     # -- transforms ---------------------------------------------------------
@@ -164,19 +169,40 @@ def group(children=(), transform=None) -> Shape:
     return g
 
 
-def mesh(v1, v2, v3, transform=None, material: Optional[Material] = None) -> Shape:
-    """A triangle soup: v1/v2/v3 are (T, 3) per-corner vertex arrays."""
+def mesh(v1, v2, v3, vn1=None, vn2=None, vn3=None,
+         transform=None, material: Optional[Material] = None) -> Shape:
+    """A triangle soup: v1/v2/v3 are (T, 3) per-corner vertex arrays.
+    vn1/vn2/vn3 (optional, (T, 3)) enable smooth (Phong-interpolated)
+    normals."""
     s = Shape(
         "mesh",
         v1=np.asarray(v1, dtype=np.float64).reshape(-1, 3),
         v2=np.asarray(v2, dtype=np.float64).reshape(-1, 3),
         v3=np.asarray(v3, dtype=np.float64).reshape(-1, 3),
+        vn1=None if vn1 is None else np.asarray(vn1, dtype=np.float64).reshape(-1, 3),
+        vn2=None if vn2 is None else np.asarray(vn2, dtype=np.float64).reshape(-1, 3),
+        vn3=None if vn3 is None else np.asarray(vn3, dtype=np.float64).reshape(-1, 3),
     )
     if material is not None:
         s.material = material
     if transform is not None:
         s.set_transform(transform)
     return s
+
+
+def smooth_vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Per-vertex normals as the area-weighted average of adjacent face
+    normals (for meshes shipped without `vn` records — all the reference's
+    assets). verts: (V, 3); faces: (F, 3) 0-based. Face normal orientation
+    follows the reference's winding convention n = (p3-p1) x (p2-p1)
+    (src/shape.rs:171-193)."""
+    p1, p2, p3 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    fn = np.cross(p3 - p1, p2 - p1)  # length-weighted (2x area)
+    out = np.zeros_like(verts)
+    for c in range(3):
+        np.add.at(out, faces[:, c], fn)
+    norm = np.linalg.norm(out, axis=-1, keepdims=True)
+    return np.divide(out, norm, out=np.zeros_like(out), where=norm > 0)
 
 
 def triangle_edges(p1: np.ndarray, p2: np.ndarray, p3: np.ndarray):
