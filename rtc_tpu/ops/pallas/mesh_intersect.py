@@ -120,7 +120,7 @@ def _kernel(o_ref, d_ref, p1_ref, e1_ref, e2_ref, aabb_ref, t_ref, idx_ref,
     static_argnames=("n_clusters", "leaf", "ray_tile", "eps", "interpret"),
 )
 def mesh_closest_hit_pallas(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
-                            n_clusters: int, leaf: int, ray_tile: int = 512,
+                            n_clusters: int, leaf: int, ray_tile: int = 256,
                             eps: float = EPSILON, interpret: bool = False):
     """Closest triangle hit for a ray wavefront.
 

@@ -151,7 +151,7 @@ def mesh_closest(scene: Scene, o, d, cfg: RenderConfig):
             jax.lax.stop_gradient(scene.cluster_aabb),
             n_clusters=scene.static.n_clusters,
             leaf=scene.static.cluster_size,
-            ray_tile=min(512, max(128, R)),
+            ray_tile=min(256, max(128, R)),
             eps=cfg.epsilon,
             interpret=(impl == "pallas_interpret"),
         )
@@ -397,7 +397,12 @@ def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None):
     valid = hit.valid
     comps = prepare_hit(scene, o, d, hit, cfg)
     point, eyev, normalv = comps.point, comps.eyev, comps.normalv
-    over, under = comps.over_point, comps.under_point
+    # Dead lanes (misses) still flow through shadow/secondary sweeps; parking
+    # their ray origins far outside every AABB makes the cluster cull reject
+    # them immediately instead of dragging them through triangle tests.
+    far = jnp.asarray(1e12, o.dtype)
+    over = jnp.where(valid[:, None], comps.over_point, far)
+    under = jnp.where(valid[:, None], comps.under_point, far)
 
     obj = hit.obj
     # pattern-space sampling; pattern-less objects read the material color
