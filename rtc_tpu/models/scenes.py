@@ -205,6 +205,38 @@ def teapot_smooth(width: int = 400):
     return teapot_smooth_world(), _cam(width, [0, 4, -12], [0, 0, 0])
 
 
+def _obj_scene(asset: str, transform, material: Material, cam_from, cam_to,
+               width: int, smooth: bool = False):
+    shape = Parser.from_obj_file(os.path.join(ASSETS, asset)).obj_to_group(
+        smooth=smooth)
+    shape.set_transform(transform)
+    shape.set_material(material)
+    w = World(objects=[shape], light=PointLight((0.0, 6.9, -5.0), (1.0, 1.0, 0.9)))
+    return w, _cam(width, cam_from, cam_to)
+
+
+def pumpkin(width: int = 400):
+    """pumpkin_tall_10k.obj — the largest shipped asset (10k triangles)."""
+    # the mesh is centered around ~(-3, 1, -110) at radius ~40: recenter+scale
+    return _obj_scene(
+        "pumpkin_tall_10k.obj",
+        _mm(X.translation(0, 3.0, 0), X.scaling(0.06, 0.06, 0.06),
+            X.translation(2.6, -0.9, 110.0)),
+        Material(color=(0.95, 0.55, 0.12), ambient=0.1, diffuse=0.8,
+                 specular=0.4, shininess=50.0),
+        [8, 6, -8], [0, 3, 0], width, smooth=True)
+
+
+def teddy(width: int = 400):
+    """teddy.obj with smooth shading."""
+    return _obj_scene(
+        "teddy.obj",
+        _mm(X.translation(0, 3.0, 0), X.scaling(0.15, 0.15, 0.15),
+            X.rotation_y(PI)),
+        Material(color=(0.6, 0.4, 0.2), diffuse=0.8, specular=0.3),
+        [8, 6, -8], [0, 3, 0], width, smooth=True)
+
+
 # --- benchmark extras (BASELINE.json configs) --------------------------------
 
 def single_sphere_world() -> World:
@@ -279,6 +311,8 @@ REGISTRY: Dict[str, Callable[[int], Tuple[World, Camera]]] = {
     "cow": cow,
     "teapot": teapot,
     "teapot_smooth": teapot_smooth,
+    "pumpkin": pumpkin,
+    "teddy": teddy,
     "single_sphere": single_sphere,
     "three_spheres": three_spheres,
     "glass_spheres": glass_spheres,
