@@ -115,6 +115,127 @@ def _kernel(o_ref, d_ref, p1_ref, e1_ref, e2_ref, aabb_ref, t_ref, idx_ref,
     idx_ref[0, :] = idx_best
 
 
+def _anyhit_kernel(o_ref, d_ref, maxt_ref, p1_ref, e1_ref, e2_ref, aabb_ref,
+                   hit_ref, *, n_clusters: int, leaf: int, eps: float):
+    """Shadow-ray occlusion: does ANY triangle intersect in [0, max_t)?
+
+    Cheaper than closest-hit: no min/argmin bookkeeping, AABB cull bounded by
+    max_t, and the cluster loop breaks as soon as every ray in the tile is
+    occluded (lax.while_loop early exit).
+    """
+    ox, oy, oz = o_ref[0, :], o_ref[1, :], o_ref[2, :]
+    dx, dy, dz = d_ref[0, :], d_ref[1, :], d_ref[2, :]
+    maxt = maxt_ref[0, :]
+    big = jnp.float32(BIG)
+
+    def inv_dir(c):
+        near_zero = jnp.abs(c) < 1e-30
+        return jnp.where(near_zero, jnp.where(c >= 0, big, -big),
+                         1.0 / jnp.where(near_zero, 1.0, c))
+
+    ix, iy, iz = inv_dir(dx), inv_dir(dy), inv_dir(dz)
+    rt = ox.shape[0]
+
+    def cond(state):
+        c, found = state
+        return (c < n_clusters) & jnp.logical_not(jnp.all(found))
+
+    def body(state):
+        c, found = state
+        lo_x, lo_y, lo_z = aabb_ref[0, c], aabb_ref[1, c], aabb_ref[2, c]
+        hi_x, hi_y, hi_z = aabb_ref[3, c], aabb_ref[4, c], aabb_ref[5, c]
+        tx1 = (lo_x - ox) * ix
+        tx2 = (hi_x - ox) * ix
+        ty1 = (lo_y - oy) * iy
+        ty2 = (hi_y - oy) * iy
+        tz1 = (lo_z - oz) * iz
+        tz2 = (hi_z - oz) * iz
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
+                           jnp.minimum(tz1, tz2))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
+                           jnp.maximum(tz1, tz2))
+        overlap = (tmax >= tmin) & (tmax >= 0.0) & (tmin < maxt) & ~found
+        any_hit = jnp.any(overlap)
+
+        def test(found):
+            s = pl.ds(pl.multiple_of(c * leaf, leaf), leaf)
+            p1x, p1y, p1z = p1_ref[0, s], p1_ref[1, s], p1_ref[2, s]
+            e1x, e1y, e1z = e1_ref[0, s], e1_ref[1, s], e1_ref[2, s]
+            e2x, e2y, e2z = e2_ref[0, s], e2_ref[1, s], e2_ref[2, s]
+            hx = dy[:, None] * e2z[None, :] - dz[:, None] * e2y[None, :]
+            hy = dz[:, None] * e2x[None, :] - dx[:, None] * e2z[None, :]
+            hz = dx[:, None] * e2y[None, :] - dy[:, None] * e2x[None, :]
+            det = e1x[None, :] * hx + e1y[None, :] * hy + e1z[None, :] * hz
+            det_ok = jnp.abs(det) >= eps
+            f = 1.0 / jnp.where(det_ok, det, 1.0)
+            sx = ox[:, None] - p1x[None, :]
+            sy = oy[:, None] - p1y[None, :]
+            sz = oz[:, None] - p1z[None, :]
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z[None, :] - sz * e1y[None, :]
+            qy = sz * e1x[None, :] - sx * e1z[None, :]
+            qz = sx * e1y[None, :] - sy * e1x[None, :]
+            v = f * (dx[:, None] * qx + dy[:, None] * qy + dz[:, None] * qz)
+            t = f * (e2x[None, :] * qx + e2y[None, :] * qy + e2z[None, :] * qz)
+            ok = (det_ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+                  & (t >= 0.0) & (t < maxt[:, None]))
+            return found | jnp.any(ok, axis=1)
+
+        found = jax.lax.cond(any_hit, test, lambda f: f, found)
+        return c + 1, found
+
+    _, found = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.zeros((rt,), jnp.bool_)))
+    hit_ref[0, :] = found.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_clusters", "leaf", "ray_tile", "eps", "interpret"),
+)
+def mesh_any_hit_pallas(o, d, max_t, tri_p1, tri_e1, tri_e2, cluster_aabb,
+                        n_clusters: int, leaf: int, ray_tile: int = 256,
+                        eps: float = EPSILON, interpret: bool = False):
+    """Occlusion query: True where some triangle lies in [0, max_t) along the
+    ray. o/d: (R, 3); max_t: (R,)."""
+    R = o.shape[0]
+    rt = min(ray_tile, max(R, 128))
+    pad = (-R) % rt
+    o_p = jnp.pad(o, ((0, pad), (0, 0)))
+    d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+    m_p = jnp.pad(max_t, ((0, pad),), constant_values=-1.0)  # padded rays: no hit
+    n_tiles = (R + pad) // rt
+
+    kernel = functools.partial(_anyhit_kernel, n_clusters=n_clusters, leaf=leaf,
+                               eps=eps)
+    (hit,) = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((3, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tri_p1.shape[0]), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tri_p1.shape[0]), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tri_p1.shape[0]), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, cluster_aabb.shape[0]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((1, R + pad), jnp.int32)],
+        interpret=interpret,
+    )(
+        o_p.astype(jnp.float32).T,
+        d_p.astype(jnp.float32).T,
+        m_p.astype(jnp.float32)[None, :],
+        tri_p1.astype(jnp.float32).T,
+        tri_e1.astype(jnp.float32).T,
+        tri_e2.astype(jnp.float32).T,
+        cluster_aabb.astype(jnp.float32).T,
+    )
+    return hit[0, :R] != 0
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_clusters", "leaf", "ray_tile", "eps", "interpret"),

@@ -275,10 +275,41 @@ def normal_at(scene: Scene, hit: HitInfo, world_point, eps) -> jnp.ndarray:
 
 
 def is_shadowed(scene: Scene, point, cfg: RenderConfig):
-    """Shadow ray toward the light (reference: src/world.rs:100-114)."""
+    """Shadow ray toward the light (reference: src/world.rs:100-114).
+
+    `hit().t < distance` is equivalent to "ANY candidate t in [0, distance)",
+    so the Pallas path uses the cheaper any-hit occlusion kernel (no min
+    bookkeeping, early loop exit once every ray in a tile is occluded).
+    """
+    import jax
+
     v = scene.light_pos - point
     distance = jnp.sqrt(jnp.maximum(dot(v, v), 1e-30))
     direction = v / distance[:, None]
+
+    st = scene.static
+    impl = _resolve_mesh_impl(scene, cfg, point.dtype)
+    if impl in ("pallas", "pallas_interpret") and cfg.prim_axis is None:
+        shadowed = jnp.zeros(point.shape[:1], bool)
+        if st.n_prims:
+            t, valid = prim_candidates(scene, point, direction, cfg.epsilon)
+            shadowed = jnp.any(
+                valid & (t >= 0.0) & (t < distance[:, None, None]), axis=(1, 2))
+        if st.n_tris:
+            from ..ops.pallas.mesh_intersect import mesh_any_hit_pallas
+
+            sg = jax.lax.stop_gradient
+            found = mesh_any_hit_pallas(
+                sg(point), sg(direction), sg(distance),
+                sg(scene.tri_p1), sg(scene.tri_e1), sg(scene.tri_e2),
+                sg(scene.cluster_aabb),
+                n_clusters=st.n_clusters, leaf=st.cluster_size,
+                eps=cfg.epsilon,
+                interpret=(impl == "pallas_interpret"),
+            )
+            shadowed = shadowed | found
+        return shadowed
+
     hit = closest_hit(scene, point, direction, cfg)
     return hit.valid & (hit.t < distance)
 
