@@ -136,12 +136,10 @@ def _anyhit_kernel(o_ref, d_ref, maxt_ref, p1_ref, e1_ref, e2_ref, aabb_ref,
     ix, iy, iz = inv_dir(dx), inv_dir(dy), inv_dir(dz)
     rt = ox.shape[0]
 
-    def cond(state):
-        c, found = state
-        return (c < n_clusters) & jnp.logical_not(jnp.all(found))
-
-    def body(state):
-        c, found = state
+    # found is carried as i32 (Mosaic mishandles vector<i1> loop carries);
+    # once every ray is occluded the per-cluster overlap test goes all-False
+    # and remaining clusters reduce to one skipped branch each.
+    def body(c, found):
         lo_x, lo_y, lo_z = aabb_ref[0, c], aabb_ref[1, c], aabb_ref[2, c]
         hi_x, hi_y, hi_z = aabb_ref[3, c], aabb_ref[4, c], aabb_ref[5, c]
         tx1 = (lo_x - ox) * ix
@@ -154,7 +152,7 @@ def _anyhit_kernel(o_ref, d_ref, maxt_ref, p1_ref, e1_ref, e2_ref, aabb_ref,
                            jnp.minimum(tz1, tz2))
         tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
                            jnp.maximum(tz1, tz2))
-        overlap = (tmax >= tmin) & (tmax >= 0.0) & (tmin < maxt) & ~found
+        overlap = (tmax >= tmin) & (tmax >= 0.0) & (tmin < maxt) & (found == 0)
         any_hit = jnp.any(overlap)
 
         def test(found):
@@ -179,14 +177,13 @@ def _anyhit_kernel(o_ref, d_ref, maxt_ref, p1_ref, e1_ref, e2_ref, aabb_ref,
             t = f * (e2x[None, :] * qx + e2y[None, :] * qy + e2z[None, :] * qz)
             ok = (det_ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
                   & (t >= 0.0) & (t < maxt[:, None]))
-            return found | jnp.any(ok, axis=1)
+            return found | jnp.any(ok, axis=1).astype(jnp.int32)
 
-        found = jax.lax.cond(any_hit, test, lambda f: f, found)
-        return c + 1, found
+        return jax.lax.cond(any_hit, test, lambda f: f, found)
 
-    _, found = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.zeros((rt,), jnp.bool_)))
-    hit_ref[0, :] = found.astype(jnp.int32)
+    found = jax.lax.fori_loop(
+        0, n_clusters, body, jnp.zeros((rt,), jnp.int32))
+    hit_ref[0, :] = found
 
 
 @functools.partial(
