@@ -31,8 +31,29 @@ from jax.experimental.pallas import tpu as pltpu
 from ...utils.constants import BIG, EPSILON
 
 
-def _kernel(o_ref, d_ref, p1_ref, e1_ref, e2_ref, aabb_ref, t_ref, idx_ref,
-            *, n_clusters: int, leaf: int, eps: float):
+def _slab_overlap(ref, i, ox, oy, oz, ix, iy, iz):
+    """Tile-wide AABB slab test against box i of an SMEM (6, N) table.
+    Returns (tmin, tmax) per ray."""
+    lo_x, lo_y, lo_z = ref[0, i], ref[1, i], ref[2, i]
+    hi_x, hi_y, hi_z = ref[3, i], ref[4, i], ref[5, i]
+    tx1 = (lo_x - ox) * ix
+    tx2 = (hi_x - ox) * ix
+    ty1 = (lo_y - oy) * iy
+    ty2 = (hi_y - oy) * iy
+    tz1 = (lo_z - oz) * iz
+    tz2 = (hi_z - oz) * iz
+    tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
+                       jnp.minimum(tz1, tz2))
+    tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
+                       jnp.maximum(tz1, tz2))
+    return tmin, tmax
+
+
+def _kernel(o_ref, d_ref, p1_ref, e1_ref, e2_ref, aabb_ref, super_ref,
+            t_ref, idx_ref, *, n_super: int, super_width: int, leaf: int,
+            eps: float):
+    """3-level traversal: superclusters -> clusters -> triangles. Empty boxes
+    (lo > hi) on padding levels never overlap, so no bounds checks needed."""
     ox, oy, oz = o_ref[0, :], o_ref[1, :], o_ref[2, :]
     dx, dy, dz = d_ref[0, :], d_ref[1, :], d_ref[2, :]
 
@@ -51,19 +72,7 @@ def _kernel(o_ref, d_ref, p1_ref, e1_ref, e2_ref, aabb_ref, t_ref, idx_ref,
 
     def cluster_body(c, carry):
         t_best, idx_best = carry
-        # --- level 1: AABB slab test for the whole tile ---------------------
-        lo_x, lo_y, lo_z = aabb_ref[0, c], aabb_ref[1, c], aabb_ref[2, c]
-        hi_x, hi_y, hi_z = aabb_ref[3, c], aabb_ref[4, c], aabb_ref[5, c]
-        tx1 = (lo_x - ox) * ix
-        tx2 = (hi_x - ox) * ix
-        ty1 = (lo_y - oy) * iy
-        ty2 = (hi_y - oy) * iy
-        tz1 = (lo_z - oz) * iz
-        tz2 = (hi_z - oz) * iz
-        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
-                           jnp.minimum(tz1, tz2))
-        tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
-                           jnp.maximum(tz1, tz2))
+        tmin, tmax = _slab_overlap(aabb_ref, c, ox, oy, oz, ix, iy, iz)
         overlap = (tmax >= tmin) & (tmax >= 0.0) & (tmin < t_best)
         any_hit = jnp.any(overlap)
 
@@ -109,14 +118,27 @@ def _kernel(o_ref, d_ref, p1_ref, e1_ref, e2_ref, aabb_ref, t_ref, idx_ref,
 
         return jax.lax.cond(any_hit, test_cluster, lambda cr: cr, (t_best, idx_best))
 
+    def super_body(si, carry):
+        t_best, idx_best = carry
+        tmin, tmax = _slab_overlap(super_ref, si, ox, oy, oz, ix, iy, iz)
+        overlap = (tmax >= tmin) & (tmax >= 0.0) & (tmin < t_best)
+
+        def descend(carry):
+            return jax.lax.fori_loop(
+                si * super_width, (si + 1) * super_width, cluster_body, carry)
+
+        return jax.lax.cond(jnp.any(overlap), descend, lambda cr: cr,
+                            (t_best, idx_best))
+
     t_best, idx_best = jax.lax.fori_loop(
-        0, n_clusters, cluster_body, (t_best0, idx_best0))
+        0, n_super, super_body, (t_best0, idx_best0))
     t_ref[0, :] = t_best
     idx_ref[0, :] = idx_best
 
 
 def _anyhit_kernel(o_ref, d_ref, maxt_ref, p1_ref, e1_ref, e2_ref, aabb_ref,
-                   hit_ref, *, n_clusters: int, leaf: int, eps: float):
+                   super_ref, hit_ref, *, n_super: int, super_width: int,
+                   leaf: int, eps: float):
     """Shadow-ray occlusion: does ANY triangle intersect in [0, max_t)?
 
     Cheaper than closest-hit: no min/argmin bookkeeping, AABB cull bounded by
@@ -140,18 +162,7 @@ def _anyhit_kernel(o_ref, d_ref, maxt_ref, p1_ref, e1_ref, e2_ref, aabb_ref,
     # once every ray is occluded the per-cluster overlap test goes all-False
     # and remaining clusters reduce to one skipped branch each.
     def body(c, found):
-        lo_x, lo_y, lo_z = aabb_ref[0, c], aabb_ref[1, c], aabb_ref[2, c]
-        hi_x, hi_y, hi_z = aabb_ref[3, c], aabb_ref[4, c], aabb_ref[5, c]
-        tx1 = (lo_x - ox) * ix
-        tx2 = (hi_x - ox) * ix
-        ty1 = (lo_y - oy) * iy
-        ty2 = (hi_y - oy) * iy
-        tz1 = (lo_z - oz) * iz
-        tz2 = (hi_z - oz) * iz
-        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
-                           jnp.minimum(tz1, tz2))
-        tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
-                           jnp.maximum(tz1, tz2))
+        tmin, tmax = _slab_overlap(aabb_ref, c, ox, oy, oz, ix, iy, iz)
         overlap = (tmax >= tmin) & (tmax >= 0.0) & (tmin < maxt) & (found == 0)
         any_hit = jnp.any(overlap)
 
@@ -181,17 +192,29 @@ def _anyhit_kernel(o_ref, d_ref, maxt_ref, p1_ref, e1_ref, e2_ref, aabb_ref,
 
         return jax.lax.cond(any_hit, test, lambda f: f, found)
 
+    def super_body(si, found):
+        tmin, tmax = _slab_overlap(super_ref, si, ox, oy, oz, ix, iy, iz)
+        overlap = (tmax >= tmin) & (tmax >= 0.0) & (tmin < maxt) & (found == 0)
+
+        def descend(found):
+            return jax.lax.fori_loop(
+                si * super_width, (si + 1) * super_width, body, found)
+
+        return jax.lax.cond(jnp.any(overlap), descend, lambda f: f, found)
+
     found = jax.lax.fori_loop(
-        0, n_clusters, body, jnp.zeros((rt,), jnp.int32))
+        0, n_super, super_body, jnp.zeros((rt,), jnp.int32))
     hit_ref[0, :] = found
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_clusters", "leaf", "ray_tile", "eps", "interpret"),
+    static_argnames=("n_super", "super_width", "leaf", "ray_tile", "eps",
+                     "interpret"),
 )
 def mesh_any_hit_pallas(o, d, max_t, tri_p1, tri_e1, tri_e2, cluster_aabb,
-                        n_clusters: int, leaf: int, ray_tile: int = 256,
+                        super_aabb, n_super: int, leaf: int,
+                        super_width: int = 8, ray_tile: int = 256,
                         eps: float = EPSILON, interpret: bool = False):
     """Occlusion query: True where some triangle lies in [0, max_t) along the
     ray. o/d: (R, 3); max_t: (R,)."""
@@ -203,8 +226,8 @@ def mesh_any_hit_pallas(o, d, max_t, tri_p1, tri_e1, tri_e2, cluster_aabb,
     m_p = jnp.pad(max_t, ((0, pad),), constant_values=-1.0)  # padded rays: no hit
     n_tiles = (R + pad) // rt
 
-    kernel = functools.partial(_anyhit_kernel, n_clusters=n_clusters, leaf=leaf,
-                               eps=eps)
+    kernel = functools.partial(_anyhit_kernel, n_super=n_super,
+                               super_width=super_width, leaf=leaf, eps=eps)
     (hit,) = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -216,6 +239,8 @@ def mesh_any_hit_pallas(o, d, max_t, tri_p1, tri_e1, tri_e2, cluster_aabb,
             pl.BlockSpec((3, tri_p1.shape[0]), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, tri_p1.shape[0]), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((6, cluster_aabb.shape[0]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((6, super_aabb.shape[0]), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM)],
@@ -229,16 +254,19 @@ def mesh_any_hit_pallas(o, d, max_t, tri_p1, tri_e1, tri_e2, cluster_aabb,
         tri_e1.astype(jnp.float32).T,
         tri_e2.astype(jnp.float32).T,
         cluster_aabb.astype(jnp.float32).T,
+        super_aabb.astype(jnp.float32).T,
     )
     return hit[0, :R] != 0
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_clusters", "leaf", "ray_tile", "eps", "interpret"),
+    static_argnames=("n_super", "super_width", "leaf", "ray_tile", "eps",
+                     "interpret"),
 )
 def mesh_closest_hit_pallas(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
-                            n_clusters: int, leaf: int, ray_tile: int = 256,
+                            super_aabb, n_super: int, leaf: int,
+                            super_width: int = 8, ray_tile: int = 256,
                             eps: float = EPSILON, interpret: bool = False):
     """Closest triangle hit for a ray wavefront.
 
@@ -258,8 +286,10 @@ def mesh_closest_hit_pallas(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
     e1_t = tri_e1.astype(jnp.float32).T
     e2_t = tri_e2.astype(jnp.float32).T
     aabb_t = cluster_aabb.astype(jnp.float32).T  # (6, C)
+    sup_t = super_aabb.astype(jnp.float32).T     # (6, S)
 
-    kernel = functools.partial(_kernel, n_clusters=n_clusters, leaf=leaf, eps=eps)
+    kernel = functools.partial(_kernel, n_super=n_super,
+                               super_width=super_width, leaf=leaf, eps=eps)
     t, idx = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -271,6 +301,7 @@ def mesh_closest_hit_pallas(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
             pl.BlockSpec(e2_t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             # AABBs are read as scalars with a dynamic cluster index -> SMEM
             pl.BlockSpec(aabb_t.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(sup_t.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -281,5 +312,5 @@ def mesh_closest_hit_pallas(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
             jax.ShapeDtypeStruct((1, R + pad), jnp.int32),
         ],
         interpret=interpret,
-    )(o_t, d_t, p1_t, e1_t, e2_t, aabb_t)
+    )(o_t, d_t, p1_t, e1_t, e2_t, aabb_t, sup_t)
     return t[0, :R].astype(o.dtype), idx[0, :R]

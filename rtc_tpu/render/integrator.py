@@ -149,7 +149,8 @@ def mesh_closest(scene: Scene, o, d, cfg: RenderConfig):
             jax.lax.stop_gradient(scene.tri_e1),
             jax.lax.stop_gradient(scene.tri_e2),
             jax.lax.stop_gradient(scene.cluster_aabb),
-            n_clusters=scene.static.n_clusters,
+            jax.lax.stop_gradient(scene.super_aabb),
+            n_super=scene.static.n_super,
             leaf=scene.static.cluster_size,
             ray_tile=min(256, max(128, R)),
             eps=cfg.epsilon,
@@ -302,8 +303,8 @@ def is_shadowed(scene: Scene, point, cfg: RenderConfig):
             found = mesh_any_hit_pallas(
                 sg(point), sg(direction), sg(distance),
                 sg(scene.tri_p1), sg(scene.tri_e1), sg(scene.tri_e2),
-                sg(scene.cluster_aabb),
-                n_clusters=st.n_clusters, leaf=st.cluster_size,
+                sg(scene.cluster_aabb), sg(scene.super_aabb),
+                n_super=st.n_super, leaf=st.cluster_size,
                 eps=cfg.epsilon,
                 interpret=(impl == "pallas_interpret"),
             )

@@ -35,6 +35,9 @@ from .world import World
 # the params stays finite. No scene approaches this scale.
 Y_INF = 1e9
 
+# clusters per supercluster in the mesh-acceleration hierarchy
+SUPER_WIDTH = 8
+
 
 class SceneStatic(NamedTuple):
     """Hashable compile-time facts used to prune the traced graph."""
@@ -49,6 +52,7 @@ class SceneStatic(NamedTuple):
     n_clusters: int = 0       # triangle clusters for the 2-level Pallas path
     cluster_size: int = 0     # triangles per cluster (tris padded to C*L)
     any_smooth: bool = False  # any mesh carries per-corner (smooth) normals
+    n_super: int = 0          # superclusters (groups of SUPER_WIDTH clusters)
 
 
 @dataclasses.dataclass
@@ -94,7 +98,10 @@ class Scene:
 
     # triangle-cluster acceleration (Morton-ordered chunks; the TPU-native
     # replacement for the reference's per-group AABB cull, src/shape.rs:399-425)
+    # C is padded to a multiple of SUPER_WIDTH with empty boxes so the kernel
+    # hierarchy needs no bounds checks
     cluster_aabb: jnp.ndarray     # (C, 6): min xyz, max xyz
+    super_aabb: jnp.ndarray       # (S, 6): union of SUPER_WIDTH clusters
 
     # the single point light (reference: src/light.rs:5-8)
     light_pos: jnp.ndarray        # (3,)
@@ -169,7 +176,37 @@ def _cluster_triangles(p1, e1, e2, n, obj, sn, leaf: int):
         verts = np.concatenate([p1[s], p1[s] + e1[s], p1[s] + e2[s]])
         aabb[c, :3] = verts.min(axis=0)
         aabb[c, 3:] = verts.max(axis=0)
-    return p1, e1, e2, n, obj, sn, aabb
+
+    # pad clusters to a multiple of SUPER_WIDTH with empty boxes, then build
+    # the supercluster level (empty boxes: lo > hi, never overlap)
+    cpad = (-n_clusters) % SUPER_WIDTH
+    if cpad:
+        empty = np.zeros((cpad, 6))
+        empty[:, :3] = 1.0
+        empty[:, 3:] = -1.0
+        aabb = np.concatenate([aabb, empty])
+        # keep T == n_clusters * leaf (degenerate rows; never visited because
+        # the padding clusters' AABBs are empty)
+        z3 = np.zeros((cpad * leaf, 3))
+        p1 = np.concatenate([p1, z3])
+        e1 = np.concatenate([e1, z3])
+        e2 = np.concatenate([e2, z3])
+        n = np.concatenate([n, z3])
+        obj = np.concatenate([obj, np.zeros((cpad * leaf,), dtype=obj.dtype)])
+        if sn is not None:
+            sn = np.concatenate([sn, np.zeros((3, cpad * leaf, 3))], axis=1)
+    n_super = len(aabb) // SUPER_WIDTH
+    sup = np.zeros((n_super, 6))
+    for si in range(n_super):
+        block = aabb[si * SUPER_WIDTH:(si + 1) * SUPER_WIDTH]
+        real = block[:, 0] <= block[:, 3]
+        if real.any():
+            sup[si, :3] = block[real, :3].min(axis=0)
+            sup[si, 3:] = block[real, 3:].max(axis=0)
+        else:
+            sup[si, :3] = 1.0
+            sup[si, 3:] = -1.0
+    return p1, e1, e2, n, obj, sn, aabb, sup
 
 
 def _flatten(world: World):
@@ -277,11 +314,12 @@ def compile_scene(world: World, dtype=jnp.float32, cluster_size: int = 128) -> S
     n_clusters = 0
     if len(tri_p1) and cluster_size:
         (tri_p1, tri_e1, tri_e2, tri_n, tri_obj, tri_sn,
-         cluster_aabb) = _cluster_triangles(
+         cluster_aabb, super_aabb) = _cluster_triangles(
             tri_p1, tri_e1, tri_e2, tri_n, tri_obj, tri_sn, cluster_size)
         n_clusters = len(cluster_aabb)
     else:
         cluster_aabb = np.zeros((0, 6))
+        super_aabb = np.zeros((0, 6))
     n_tris = len(tri_p1)
     if tri_sn is None:
         tri_sn = np.zeros((3, 0, 3))
@@ -333,6 +371,7 @@ def compile_scene(world: World, dtype=jnp.float32, cluster_size: int = 128) -> S
         n_clusters=n_clusters,
         cluster_size=cluster_size if n_clusters else 0,
         any_smooth=bool(any_smooth and n_tris),
+        n_super=len(super_aabb),
     )
 
     f = lambda a: jnp.asarray(a, dtype=dtype)
@@ -352,6 +391,7 @@ def compile_scene(world: World, dtype=jnp.float32, cluster_size: int = 128) -> S
         tri_sn2=f(tri_sn[1]),
         tri_sn3=f(tri_sn[2]),
         cluster_aabb=f(cluster_aabb),
+        super_aabb=f(super_aabb),
         mat_color=f(mat_color),
         mat_ambient=f(mat_ambient),
         mat_diffuse=f(mat_diffuse),
