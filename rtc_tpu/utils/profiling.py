@@ -64,6 +64,24 @@ class RenderReport:
 
 
 @contextlib.contextmanager
+def trace(logdir: str = "/tmp/rtc_tpu_trace"):
+    """XLA/TPU profiler trace around a render; view with TensorBoard or
+    xprof. Usage:
+
+        with profiling.trace("/tmp/trace"):
+            img = render(scene, cam, cfg)
+            jax.block_until_ready(img)
+    """
+    with jax.profiler.trace(logdir):
+        yield
+
+
+def annotate(name: str):
+    """Named region for profiler timelines (jax.profiler.TraceAnnotation)."""
+    return jax.profiler.TraceAnnotation(name)
+
+
+@contextlib.contextmanager
 def timed(result: Dict[str, float], key: str):
     t0 = time.perf_counter()
     yield
