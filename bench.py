@@ -38,17 +38,17 @@ def main() -> int:
     import jax.numpy as jnp
 
     def run():
-        img = render(scene, cam, cfg)
-        # force full materialization: block_until_ready is not reliable on
-        # remote-attached backends, so reduce + fetch a scalar
-        return float(jnp.sum(img))
+        # reduce to a scalar on device; fetched once after the timing loop so
+        # the remote-attached backend's ~27 ms host round-trip latency is not
+        # charged per frame (device executes enqueued programs back-to-back)
+        return jnp.sum(render(scene, cam, cfg))
 
-    run()  # compile + warmup
+    float(run())  # compile + warmup
 
-    iters = 3
+    iters = 5
     t0 = time.perf_counter()
-    for _ in range(iters):
-        run()
+    acc = [run() for _ in range(iters)]
+    float(acc[-1])  # one synchronizing fetch; forces the whole queue
     wall = (time.perf_counter() - t0) / iters
 
     n_pix = cam.hsize * cam.vsize

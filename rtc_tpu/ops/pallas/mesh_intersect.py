@@ -207,6 +207,333 @@ def _anyhit_kernel(o_ref, d_ref, maxt_ref, p1_ref, e1_ref, e2_ref, aabb_ref,
     hit_ref[0, :] = found
 
 
+# ---------------------------------------------------------------------------
+# MXU variant: Möller-Trumbore as a matmul.
+#
+# Each per-(ray, triangle) quantity in Möller-Trumbore is a scalar triple
+# product, hence LINEAR in the 10-dim ray feature vector
+#     rayF = [d, o x d, o, 1]
+# (Plücker-coordinate factorization):
+#     det   = e1·(d x e2)      =  d·(e2 x e1)
+#     s·h   = (o-p1)·(d x e2)  =  (o x d)·e2 + d·(p1 x e2)
+#     d·q   = d·((o-p1) x e1)  = -(o x d)·e1 + d·(e1 x p1)
+#     e2·q  = (o-p1)·(e1 x e2) =  o·n' - p1·n'          (n' = e1 x e2)
+# so a whole cluster test is ONE (rays, 10) @ (10, 4*leaf) matmul on the MXU
+# (the systolic array — where TPU FLOPs live), leaving only sign tests,
+# one divide, and the min/argmin on the VPU. u = (s·h)/det, v = (d·q)/det,
+# t = (e2·q)/det reproduce the reference's math exactly
+# (src/shape.rs:437-459).
+# ---------------------------------------------------------------------------
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _tri_features(p1, e1, e2, leaf: int):
+    """Per-triangle coefficient matrix (10, C*4*leaf), grouped per cluster as
+    [det | s·h | d·q | e2·q] column blocks of `leaf` each."""
+    p1 = p1.astype(jnp.float32)
+    e1 = e1.astype(jnp.float32)
+    e2 = e2.astype(jnp.float32)
+    n = jnp.cross(e1, e2)
+    z3 = jnp.zeros_like(n)
+    z1 = jnp.zeros_like(p1[:, :1])
+    det_f = jnp.concatenate([-n, z3, z3, z1], axis=1)                   # (T, 10)
+    sh_f = jnp.concatenate([jnp.cross(p1, e2), e2, z3, z1], axis=1)
+    dq_f = jnp.concatenate([jnp.cross(e1, p1), -e1, z3, z1], axis=1)
+    eq_f = jnp.concatenate(
+        [z3, z3, n, -jnp.sum(p1 * n, axis=1, keepdims=True)], axis=1)
+    t = p1.shape[0]
+    c = t // leaf
+    q = jnp.stack([det_f, sh_f, dq_f, eq_f], axis=1)                   # (T, 4, 10)
+    q = q.reshape(c, leaf, 4, 10).transpose(0, 2, 1, 3)                # (C, 4, L, 10)
+    return q.reshape(c * 4 * leaf, 10).T                               # (10, 4T)
+
+
+def _ray_features(o, d):
+    """(R, 10) = [d, o x d, o, 1] per ray."""
+    o = o.astype(jnp.float32)
+    d = d.astype(jnp.float32)
+    return jnp.concatenate(
+        [d, jnp.cross(o, d), o, jnp.ones_like(o[:, :1])], axis=1)
+
+
+def _tile_cluster_schedule(o, d, aabb, rt: int, max_t=None):
+    """Per-tile traversal schedule, computed OUTSIDE the kernel in one flat
+    vectorized pass (the kernel's former per-cluster slab-test/any/branch
+    sequence serialized the VLIW pipeline; here XLA runs the same tests at
+    full VPU rate with no branches).
+
+    The test is hierarchical so nothing of size (R, C) ever exists: rays are
+    first reduced to per-tile interval bounds (an origin AABB and a direction
+    AABB — an O(R) reduce), then a conservative interval-arithmetic slab test
+    runs on just (nt, C). A direction interval straddling zero contributes no
+    constraint on that axis (conservative); primary-ray tiles have tight
+    direction cones so the cull stays sharp where it matters.
+
+    Returns (order, count, tmin_sorted):
+      order (nt, C) i32 — cluster ids sorted front-to-back by the tile's
+        conservative entry t (non-overlapping clusters pushed to the end);
+      count (nt, 1) i32 — how many clusters possibly overlap some ray;
+      tmin_sorted (nt, C) f32 — entry t lower bound per scheduled cluster,
+        enabling ordered early exit (all rays' t_best <= next entry -> done).
+    """
+    big = jnp.float32(BIG)
+    R = o.shape[0]
+    nt = R // rt
+    C = aabb.shape[0]
+    # work in (3, nt, rt) orientation so the reduces run over a wide minor
+    # dim instead of the 3-lane one
+    o3 = o.T.reshape(3, nt, rt)
+    d3 = d.T.reshape(3, nt, rt)
+    o_lo = jnp.min(o3, axis=2)                                   # (3, nt)
+    o_hi = jnp.max(o3, axis=2)
+    d_lo = jnp.min(d3, axis=2)
+    d_hi = jnp.max(d3, axis=2)
+    if max_t is not None:
+        mt_hi = jnp.max(max_t.reshape(nt, rt), axis=1)           # (nt,)
+
+    # interval reciprocal: both endpoints of 1/d when d doesn't straddle 0
+    straddle = (d_lo <= 0.0) & (d_hi >= 0.0)                     # (3, nt)
+    safe_lo = jnp.where(jnp.abs(d_lo) < 1e-30, 1.0, d_lo)
+    safe_hi = jnp.where(jnp.abs(d_hi) < 1e-30, 1.0, d_hi)
+    i_a = 1.0 / safe_lo
+    i_b = 1.0 / safe_hi
+    i_lo = jnp.minimum(i_a, i_b)
+    i_hi = jnp.maximum(i_a, i_b)
+
+    # interval of (bound - o): lo/hi over the tile's origin box; everything
+    # below is (3, nt, C) with the cluster dim minor
+    blo = aabb.T[:3, None, :]                                    # (3, 1, C)
+    bhi = aabb.T[3:, None, :]
+    s_lo_lo = blo - o_hi[:, :, None]                             # (3, nt, C)
+    s_lo_hi = blo - o_lo[:, :, None]
+    s_hi_lo = bhi - o_hi[:, :, None]
+    s_hi_hi = bhi - o_lo[:, :, None]
+
+    def imul(a_lo, a_hi, b_lo, b_hi):
+        """Interval product bounds."""
+        p1, p2 = a_lo * b_lo, a_lo * b_hi
+        p3, p4 = a_hi * b_lo, a_hi * b_hi
+        return (jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+                jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)))
+
+    il = i_lo[:, :, None]
+    ih = i_hi[:, :, None]
+    t_lo_lo, t_lo_hi = imul(s_lo_lo, s_lo_hi, il, ih)            # t at lower bound
+    t_hi_lo, t_hi_hi = imul(s_hi_lo, s_hi_hi, il, ih)            # t at upper bound
+    # per-axis slab interval: [min of entries, max of exits] over the two
+    # bounds (whichever is near/far depends on direction sign — covered by
+    # taking the min/max of both interval hulls)
+    ax_lo = jnp.minimum(t_lo_lo, t_hi_lo)
+    ax_hi = jnp.maximum(t_lo_hi, t_hi_hi)
+    # axes where the direction straddles zero give no constraint
+    st = straddle[:, :, None]
+    ax_lo = jnp.where(st, -big, ax_lo)
+    ax_hi = jnp.where(st, big, ax_hi)
+    tmin = jnp.max(ax_lo, axis=0)                                # (nt, C)
+    tmax = jnp.min(ax_hi, axis=0)
+    tile_ov = (tmax >= tmin) & (tmax >= 0.0)
+    if max_t is not None:
+        tile_ov = tile_ov & (tmin < mt_hi[:, None])
+    entry = jnp.where(tile_ov, jnp.maximum(tmin, 0.0), big)
+    order = jnp.argsort(entry, axis=1).astype(jnp.int32)         # (nt, C)
+    tmin_sorted = jnp.take_along_axis(entry, order, axis=1)
+    count = jnp.sum(tile_ov, axis=1, dtype=jnp.int32)[:, None]   # (nt, 1)
+    return order, count, tmin_sorted
+
+
+def _mt_cluster_mxu(rayf, feat_ref, c, leaf: int, eps: float):
+    """One cluster's Möller-Trumbore on the MXU. Returns (t, ok): (RT, L)."""
+    s = pl.ds(c * (4 * leaf), 4 * leaf)
+    w = jax.lax.dot_general(
+        rayf, feat_ref[:, s],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=_HIGHEST,
+        preferred_element_type=jnp.float32,
+    )                                           # (RT, 4L)
+    det = w[:, 0 * leaf:1 * leaf]
+    sh = w[:, 1 * leaf:2 * leaf]
+    dq = w[:, 2 * leaf:3 * leaf]
+    eq = w[:, 3 * leaf:4 * leaf]
+    det_ok = jnp.abs(det) >= eps
+    f = 1.0 / jnp.where(det_ok, det, 1.0)
+    u = f * sh
+    v = f * dq
+    t = f * eq
+    ok = (det_ok & (u >= 0.0) & (u <= 1.0)
+          & (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0))
+    return t, ok
+
+
+def _kernel_mxu(rayf_ref, feat_ref, ids_ref, cnt_ref, tmin_ref,
+                t_ref, idx_ref, *, leaf: int, eps: float):
+    """Closest hit over the precomputed front-to-back cluster schedule.
+
+    Zero wasted iterations: the while_loop visits exactly the clusters some
+    ray in the tile overlaps, in entry order, and exits as soon as every
+    ray's best hit precedes the next cluster's conservative entry t."""
+    rayf = rayf_ref[:, :]                        # (RT, 10)
+    big = jnp.float32(BIG)
+    rt = rayf.shape[0]
+    cnt = cnt_ref[0, 0]
+
+    n_sched = tmin_ref.shape[1]
+
+    def cond(carry):
+        k, t_best, _ = carry
+        in_range = k < cnt
+        # ordered early exit: every ray already has a hit at or before the
+        # next cluster's entry point (k clamped: when in_range is False the
+        # read is discarded but must stay in bounds)
+        more = jnp.any(t_best > tmin_ref[0, jnp.minimum(k, n_sched - 1)])
+        return in_range & more
+
+    def body(carry):
+        k, t_best, idx_best = carry
+        c = ids_ref[0, k]
+        t, ok = _mt_cluster_mxu(rayf, feat_ref, c, leaf, eps)
+        tt = jnp.where(ok, t, big)
+        tmin_c = jnp.min(tt, axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1)
+        local = jnp.min(
+            jnp.where(tt <= tmin_c[:, None], lane, jnp.int32(2**30)), axis=1)
+        better = tmin_c < t_best
+        t_best = jnp.where(better, tmin_c, t_best)
+        idx_best = jnp.where(
+            better, (c * leaf + local).astype(jnp.int32), idx_best)
+        return k + 1, t_best, idx_best
+
+    _, t_best, idx_best = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.full((rt,), big, jnp.float32),
+         jnp.full((rt,), -1, jnp.int32)))
+    t_ref[0, :] = t_best
+    idx_ref[0, :] = idx_best
+
+
+def _anyhit_kernel_mxu(rayf_ref, maxt_ref, feat_ref, ids_ref, cnt_ref,
+                       hit_ref, *, leaf: int, eps: float):
+    """Occlusion query over the precomputed cluster schedule; exits as soon
+    as every ray in the tile is occluded."""
+    rayf = rayf_ref[:, :]
+    maxt = maxt_ref[0, :]
+    rt = rayf.shape[0]
+    cnt = cnt_ref[0, 0]
+
+    def cond(carry):
+        k, found = carry
+        return (k < cnt) & jnp.any(found == 0)
+
+    def body(carry):
+        k, found = carry
+        c = ids_ref[0, k]
+        t, ok = _mt_cluster_mxu(rayf, feat_ref, c, leaf, eps)
+        ok = ok & (t < maxt[:, None])
+        return k + 1, found | jnp.any(ok, axis=1).astype(jnp.int32)
+
+    _, found = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.zeros((rt,), jnp.int32)))
+    hit_ref[0, :] = found
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_super", "super_width", "leaf", "ray_tile", "eps",
+                     "interpret"),
+)
+def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
+                         super_aabb, n_super: int, leaf: int,
+                         super_width: int = 8, ray_tile: int = 128,
+                         eps: float = EPSILON, interpret: bool = False):
+    """Closest triangle hit with MXU cluster tests and a precomputed
+    front-to-back traversal schedule. Same contract as
+    mesh_closest_hit_pallas. (super_aabb/n_super/super_width are accepted for
+    signature parity; the schedule subsumes the hierarchy levels.)"""
+    del super_aabb, n_super, super_width
+    R = o.shape[0]
+    rt = min(ray_tile, max(R, 128))
+    pad = (-R) % rt
+    o_p = jnp.pad(o, ((0, pad), (0, 0)), constant_values=BIG)  # never overlaps
+    d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+    n_tiles = (R + pad) // rt
+
+    feat = _tri_features(tri_p1, tri_e1, tri_e2, leaf)   # (10, 4T)
+    rayf = _ray_features(o_p, d_p)                       # (R', 10)
+    aabb32 = cluster_aabb.astype(jnp.float32)
+    ids, cnt, tmins = _tile_cluster_schedule(
+        o_p.astype(jnp.float32), d_p.astype(jnp.float32), aabb32, rt)
+    C = aabb32.shape[0]
+
+    kernel = functools.partial(_kernel_mxu, leaf=leaf, eps=eps)
+    t, idx = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((rt, 10), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(feat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, C), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 1, C), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, R + pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, R + pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(rayf, feat, ids[:, None, :], cnt[:, None, :], tmins[:, None, :])
+    return t[0, :R].astype(o.dtype), idx[0, :R]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_super", "super_width", "leaf", "ray_tile", "eps",
+                     "interpret"),
+)
+def mesh_any_hit_mxu(o, d, max_t, tri_p1, tri_e1, tri_e2, cluster_aabb,
+                     super_aabb, n_super: int, leaf: int,
+                     super_width: int = 8, ray_tile: int = 128,
+                     eps: float = EPSILON, interpret: bool = False):
+    """Occlusion query with MXU cluster tests and a precomputed traversal
+    schedule. Same contract as mesh_any_hit_pallas."""
+    del super_aabb, n_super, super_width
+    R = o.shape[0]
+    rt = min(ray_tile, max(R, 128))
+    pad = (-R) % rt
+    o_p = jnp.pad(o, ((0, pad), (0, 0)), constant_values=BIG)
+    d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+    m_p = jnp.pad(max_t, ((0, pad),), constant_values=-1.0)  # padded rays: no hit
+    n_tiles = (R + pad) // rt
+
+    feat = _tri_features(tri_p1, tri_e1, tri_e2, leaf)
+    rayf = _ray_features(o_p, d_p)
+    aabb32 = cluster_aabb.astype(jnp.float32)
+    ids, cnt, _ = _tile_cluster_schedule(
+        o_p.astype(jnp.float32), d_p.astype(jnp.float32), aabb32, rt,
+        max_t=m_p.astype(jnp.float32))
+    C = aabb32.shape[0]
+
+    kernel = functools.partial(_anyhit_kernel_mxu, leaf=leaf, eps=eps)
+    (hit,) = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((rt, 10), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(feat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, C), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((1, R + pad), jnp.int32)],
+        interpret=interpret,
+    )(rayf, m_p.astype(jnp.float32)[None, :], feat, ids[:, None, :], cnt[:, None, :])
+    return hit[0, :R] != 0
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_super", "super_width", "leaf", "ray_tile", "eps",

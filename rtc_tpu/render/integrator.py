@@ -108,6 +108,9 @@ def tri_candidates(scene: Scene, o, d, eps):
     return t, valid
 
 
+_KERNEL_IMPLS = ("pallas", "pallas_interpret", "mxu", "mxu_interpret")
+
+
 def _resolve_mesh_impl(scene: Scene, cfg: RenderConfig, dtype) -> str:
     impl = cfg.mesh_impl
     if impl == "auto":
@@ -119,8 +122,8 @@ def _resolve_mesh_impl(scene: Scene, cfg: RenderConfig, dtype) -> str:
             and dtype == jnp.float32
             and jax.default_backend() != "cpu"
         )
-        impl = "pallas" if ok else "bruteforce"
-    if impl in ("pallas", "pallas_interpret") and not scene.static.n_clusters:
+        impl = "mxu" if ok else "bruteforce"
+    if impl in _KERNEL_IMPLS and not scene.static.n_clusters:
         impl = "bruteforce"
     return impl
 
@@ -128,22 +131,27 @@ def _resolve_mesh_impl(scene: Scene, cfg: RenderConfig, dtype) -> str:
 def mesh_closest(scene: Scene, o, d, cfg: RenderConfig):
     """Closest triangle hit: (t, idx); t == BIG and idx == 0 on miss.
 
-    'pallas' runs the two-level VMEM kernel (forward-only) and then
-    recomputes t differentiably for the winning triangle — a single gathered
-    Möller-Trumbore evaluation — so autodiff sees a closed-form t while the
-    O(R x T) search stays out of the graph. 'bruteforce' is the pure-jnp
-    masked sweep (differentiable as-is, used on CPU, in f64 conformance mode,
-    and under primitive sharding).
+    'mxu' runs the matmul-form kernel (Möller-Trumbore factored onto the
+    systolic array over a precomputed front-to-back cluster schedule);
+    'pallas' the elementwise two-level VMEM kernel. Both are forward-only;
+    t is then recomputed differentiably for the winning triangle — a single
+    gathered Möller-Trumbore evaluation — so autodiff sees a closed-form t
+    while the O(R x T) search stays out of the graph. 'bruteforce' is the
+    pure-jnp masked sweep (differentiable as-is, used on CPU, in f64
+    conformance mode, and under primitive sharding).
     """
     import jax
 
     R = o.shape[0]
     impl = _resolve_mesh_impl(scene, cfg, o.dtype)
 
-    if impl in ("pallas", "pallas_interpret"):
-        from ..ops.pallas.mesh_intersect import mesh_closest_hit_pallas
+    if impl in _KERNEL_IMPLS:
+        from ..ops.pallas.mesh_intersect import (
+            mesh_closest_hit_mxu, mesh_closest_hit_pallas)
 
-        t_fwd, idx = mesh_closest_hit_pallas(
+        fn = (mesh_closest_hit_mxu if impl.startswith("mxu")
+              else mesh_closest_hit_pallas)
+        t_fwd, idx = fn(
             jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
             jax.lax.stop_gradient(scene.tri_p1),
             jax.lax.stop_gradient(scene.tri_e1),
@@ -152,9 +160,9 @@ def mesh_closest(scene: Scene, o, d, cfg: RenderConfig):
             jax.lax.stop_gradient(scene.super_aabb),
             n_super=scene.static.n_super,
             leaf=scene.static.cluster_size,
-            ray_tile=min(256, max(128, R)),
+            ray_tile=min(128, max(128, R)),
             eps=cfg.epsilon,
-            interpret=(impl == "pallas_interpret"),
+            interpret=impl.endswith("_interpret"),
         )
         hit_ok = idx >= 0
         idx_c = jnp.where(hit_ok, idx, 0)
@@ -290,23 +298,26 @@ def is_shadowed(scene: Scene, point, cfg: RenderConfig):
 
     st = scene.static
     impl = _resolve_mesh_impl(scene, cfg, point.dtype)
-    if impl in ("pallas", "pallas_interpret") and cfg.prim_axis is None:
+    if impl in _KERNEL_IMPLS and cfg.prim_axis is None:
         shadowed = jnp.zeros(point.shape[:1], bool)
         if st.n_prims:
             t, valid = prim_candidates(scene, point, direction, cfg.epsilon)
             shadowed = jnp.any(
                 valid & (t >= 0.0) & (t < distance[:, None, None]), axis=(1, 2))
         if st.n_tris:
-            from ..ops.pallas.mesh_intersect import mesh_any_hit_pallas
+            from ..ops.pallas.mesh_intersect import (
+                mesh_any_hit_mxu, mesh_any_hit_pallas)
 
+            fn = (mesh_any_hit_mxu if impl.startswith("mxu")
+                  else mesh_any_hit_pallas)
             sg = jax.lax.stop_gradient
-            found = mesh_any_hit_pallas(
+            found = fn(
                 sg(point), sg(direction), sg(distance),
                 sg(scene.tri_p1), sg(scene.tri_e1), sg(scene.tri_e2),
                 sg(scene.cluster_aabb), sg(scene.super_aabb),
                 n_super=st.n_super, leaf=st.cluster_size,
                 eps=cfg.epsilon,
-                interpret=(impl == "pallas_interpret"),
+                interpret=impl.endswith("_interpret"),
             )
             shadowed = shadowed | found
         return shadowed

@@ -25,8 +25,13 @@ class RenderConfig:
       dtype: 'float32' or 'float64' (name, to stay hashable).
       ray_tile: rays per wavefront tile; the renderer maps over tiles to bound
         the (rays x triangles) working set in HBM.
-      mesh_impl: 'bruteforce' | 'pallas' | 'auto' triangle intersector.
+      mesh_impl: triangle intersector: 'auto' | 'bruteforce' | 'mxu' |
+        'pallas' (+ '_interpret' variants for CPU debugging). 'auto' picks
+        the matmul-form 'mxu' kernel on accelerators.
       shadows: enable shadow rays (reference always does).
+      ray_order: 'morton' renders pixels in Z-order (compact screen tiles ->
+        tighter wavefront coherence for the cluster cull); 'scanline' is the
+        reference's traversal. Pure permutation, identical output.
       prim_axis: mesh axis name the triangle table is sharded over (set by
         parallel.shard inside shard_map; None = replicated scene).
     """
@@ -37,6 +42,7 @@ class RenderConfig:
     ray_tile: int = 8192
     mesh_impl: str = "auto"
     shadows: bool = True
+    ray_order: str = "morton"
     prim_axis: Optional[str] = None
 
     def jnp_dtype(self):

@@ -1,0 +1,64 @@
+"""Regenerate the golden images (run from the repo root):
+
+    python tests/golden/regen.py
+
+Goldens are OUR f64 CPU renders (the Rust reference can't execute in this
+image), frozen as regression anchors. Semantics are pinned independently by
+the book-conformance suite (261 scalar tests); goldens pin end-to-end
+behavior. Renders are ulp-sensitive at decision boundaries (shadow/hit
+epsilons — knife-edge pixels can flip when XLA fusion changes), so goldens
+may only be regenerated after an INTENTIONAL pipeline change with the full
+conformance suite green; the diff vs the previous goldens must be reviewed
+to be confined to isolated boundary pixels.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+
+from rtc_tpu.models.scenes import REGISTRY
+from rtc_tpu.render.renderer import render
+from rtc_tpu.scene.compile import compile_scene
+from rtc_tpu.utils.config import RenderConfig
+
+SPECS = {
+    "default_world": 24,
+    "three_spheres": 32,
+    "glass_spheres": 32,
+    "table": 32,
+    "hexagon": 32,
+    "teapot": 24,
+    "teapot_smooth": 24,
+}
+
+HERE = os.path.dirname(__file__)
+
+
+def main():
+    for name, width in sorted(SPECS.items()):
+        world, cam = REGISTRY[name](width)
+        scene = compile_scene(world, dtype=np.float64)
+        img = np.asarray(
+            render(scene, cam, RenderConfig(dtype="float64", ray_tile=512)))
+        path = os.path.join(HERE, f"{name}.npy")
+        old = np.load(path) if os.path.exists(path) else None
+        np.save(path, img)
+        if old is not None and old.shape == img.shape:
+            d = np.abs(old - img).max(axis=2)
+            print(f"{name}: {int((d > 1e-9).sum())} px changed, "
+                  f"max {d.max():.3e}")
+        else:
+            print(f"{name}: written")
+
+
+if __name__ == "__main__":
+    main()
