@@ -111,6 +111,56 @@ def tri_candidates(scene: Scene, o, d, eps):
 _KERNEL_IMPLS = ("pallas", "pallas_interpret", "mxu", "mxu_interpret")
 
 
+import functools
+
+import jax as _jax
+import numpy as _np
+
+
+@functools.partial(_jax.custom_jvp, nondiff_argnums=(0,))
+def _kernel_closest(spec, o, d, p1, e1, e2, aabb, sup):
+    """Forward-only Pallas search with exact derivatives attached.
+
+    spec: (impl, n_super, leaf, ray_tile, eps) — hashable/static.
+    Primal: the kernel's (t, idx) directly (no recompute). Tangent: a single
+    gathered Möller-Trumbore evaluation at the winning triangle (closed-form
+    t — implicit-function derivative), linearized by jax.jvp. Under plain
+    rendering the tangent rule never runs, so the refinement gathers cost
+    nothing; under autodiff gradients are exact w.r.t. rays AND triangle
+    vertices while the O(R x T) search stays out of the graph.
+    """
+    impl, n_super, leaf, ray_tile, eps = spec
+    from ..ops.pallas.mesh_intersect import (
+        mesh_closest_hit_mxu, mesh_closest_hit_pallas)
+
+    fn = mesh_closest_hit_mxu if impl.startswith("mxu") else mesh_closest_hit_pallas
+    sg = _jax.lax.stop_gradient
+    t, idx = fn(sg(o), sg(d), sg(p1), sg(e1), sg(e2), sg(aabb), sg(sup),
+                n_super=n_super, leaf=leaf, ray_tile=ray_tile, eps=eps,
+                interpret=impl.endswith("_interpret"))
+    return t, idx
+
+
+@_kernel_closest.defjvp
+def _kernel_closest_jvp(spec, primals, tangents):
+    o, d, p1, e1, e2, aabb, sup = primals
+    do, dd, dp1, de1, de2, _, _ = tangents
+    t, idx = _kernel_closest(spec, *primals)
+    eps = spec[4]
+    hit_ok = idx >= 0
+    idx_c = jnp.where(hit_ok, idx, 0)
+
+    def refined_t(o, d, p1, e1, e2):
+        t_ref, _, _, _ = intersect.triangle(
+            o, d, p1[idx_c], e1[idx_c], e2[idx_c], eps)
+        return t_ref
+
+    _, dt = _jax.jvp(refined_t, (o, d, p1, e1, e2), (do, dd, dp1, de1, de2))
+    dt = jnp.where(hit_ok, dt, 0.0)
+    didx = _np.zeros(idx.shape, dtype=_jax.dtypes.float0)
+    return (t, idx), (dt, didx)
+
+
 def _resolve_mesh_impl(scene: Scene, cfg: RenderConfig, dtype) -> str:
     impl = cfg.mesh_impl
     if impl == "auto":
@@ -146,32 +196,14 @@ def mesh_closest(scene: Scene, o, d, cfg: RenderConfig):
     impl = _resolve_mesh_impl(scene, cfg, o.dtype)
 
     if impl in _KERNEL_IMPLS:
-        from ..ops.pallas.mesh_intersect import (
-            mesh_closest_hit_mxu, mesh_closest_hit_pallas)
-
-        fn = (mesh_closest_hit_mxu if impl.startswith("mxu")
-              else mesh_closest_hit_pallas)
-        t_fwd, idx = fn(
-            jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
-            jax.lax.stop_gradient(scene.tri_p1),
-            jax.lax.stop_gradient(scene.tri_e1),
-            jax.lax.stop_gradient(scene.tri_e2),
-            jax.lax.stop_gradient(scene.cluster_aabb),
-            jax.lax.stop_gradient(scene.super_aabb),
-            n_super=scene.static.n_super,
-            leaf=scene.static.cluster_size,
-            ray_tile=min(128, max(128, R)),
-            eps=cfg.epsilon,
-            interpret=impl.endswith("_interpret"),
-        )
+        spec = (impl, scene.static.n_super, scene.static.cluster_size,
+                min(256, max(128, R)), cfg.epsilon)
+        t, idx = _kernel_closest(
+            spec, o, d, scene.tri_p1, scene.tri_e1, scene.tri_e2,
+            scene.cluster_aabb, scene.super_aabb)
         hit_ok = idx >= 0
         idx_c = jnp.where(hit_ok, idx, 0)
-        # differentiable refinement at the winner
-        t_ref, valid_ref, _, _ = intersect.triangle(
-            o, d, scene.tri_p1[idx_c], scene.tri_e1[idx_c], scene.tri_e2[idx_c],
-            cfg.epsilon,
-        )
-        t = jnp.where(hit_ok & valid_ref & (t_ref >= 0.0), t_ref, BIG)
+        t = jnp.where(hit_ok, t, BIG)
         return t, idx_c
 
     t, v = tri_candidates(scene, o, d, cfg.epsilon)
@@ -283,18 +315,25 @@ def normal_at(scene: Scene, hit: HitInfo, world_point, eps) -> jnp.ndarray:
     return jnp.where(hit.is_tri[:, None], n_tri, n_p)
 
 
-def is_shadowed(scene: Scene, point, cfg: RenderConfig):
+def is_shadowed(scene: Scene, point, cfg: RenderConfig, live=None):
     """Shadow ray toward the light (reference: src/world.rs:100-114).
 
     `hit().t < distance` is equivalent to "ANY candidate t in [0, distance)",
     so the Pallas path uses the cheaper any-hit occlusion kernel (no min
     bookkeeping, early loop exit once every ray in a tile is occluded).
+
+    live: optional (R,) bool — dead lanes get max_t = -1 so the occlusion
+    kernel's tile schedule drops them entirely (their shadow rays would
+    otherwise point from the parking position back toward the light and drag
+    whole clusters into the traversal); they report unshadowed.
     """
     import jax
 
     v = scene.light_pos - point
     distance = jnp.sqrt(jnp.maximum(dot(v, v), 1e-30))
     direction = v / distance[:, None]
+    if live is not None:
+        distance = jnp.where(live, distance, -1.0)
 
     st = scene.static
     impl = _resolve_mesh_impl(scene, cfg, point.dtype)
@@ -316,6 +355,7 @@ def is_shadowed(scene: Scene, point, cfg: RenderConfig):
                 sg(scene.tri_p1), sg(scene.tri_e1), sg(scene.tri_e2),
                 sg(scene.cluster_aabb), sg(scene.super_aabb),
                 n_super=st.n_super, leaf=st.cluster_size,
+                ray_tile=min(256, max(128, point.shape[0])),
                 eps=cfg.epsilon,
                 interpret=impl.endswith("_interpret"),
             )
@@ -326,7 +366,47 @@ def is_shadowed(scene: Scene, point, cfg: RenderConfig):
     return hit.valid & (hit.t < distance)
 
 
-def refraction_indices(scene: Scene, o, d, hit: HitInfo, cfg: RenderConfig):
+def object_record(scene: Scene, obj):
+    """ONE fused gather of all per-object shading data.
+
+    The shade path needs ~13 per-object lookups (pattern kind/colors/affine,
+    material color + 7 scalars); a gather costs ~3 ms per million rays on
+    TPU, so concatenating the tiny (O, F) tables host-side-of-the-gather and
+    slicing the (R, F) result turns 13 gathers into 1. All slices stay
+    differentiable w.r.t. the underlying scene fields."""
+    tbl = jnp.concatenate([
+        scene.pat_kind[:, None].astype(scene.pat_a.dtype),      # 0
+        scene.pat_a,                                            # 1:4
+        scene.pat_b,                                            # 4:7
+        scene.pat_inv.reshape(scene.pat_inv.shape[0], 12),      # 7:19
+        scene.mat_color,                                        # 19:22
+        scene.mat_ambient[:, None],                             # 22
+        scene.mat_diffuse[:, None],                             # 23
+        scene.mat_specular[:, None],                            # 24
+        scene.mat_shininess[:, None],                           # 25
+        scene.mat_reflective[:, None],                          # 26
+        scene.mat_transparency[:, None],                        # 27
+        scene.mat_ior[:, None],                                 # 28
+    ], axis=1)
+    g = tbl[obj]                                                # (R, 29)
+    return dict(
+        pat_kind=g[:, 0].astype(jnp.int32),
+        pat_a=g[:, 1:4],
+        pat_b=g[:, 4:7],
+        pat_inv=g[:, 7:19].reshape(-1, 3, 4),
+        color=g[:, 19:22],
+        ambient=g[:, 22],
+        diffuse=g[:, 23],
+        specular=g[:, 24],
+        shininess=g[:, 25],
+        reflective=g[:, 26],
+        transparency=g[:, 27],
+        ior=g[:, 28],
+    )
+
+
+def refraction_indices(scene: Scene, o, d, hit: HitInfo, cfg: RenderConfig,
+                       n2_enter=None):
     """n1/n2 via crossing parity — the vectorized equivalent of the
     reference's containers-stack walk over the sorted intersection list
     (src/intersection.rs:29-62).
@@ -343,7 +423,8 @@ def refraction_indices(scene: Scene, o, d, hit: HitInfo, cfg: RenderConfig):
     ids = scene.static.refr_prim_ids
     R = o.shape[0]
     one = jnp.ones((R,), o.dtype)
-    n2_enter = scene.mat_ior[hit.obj] if scene.static.n_objects else one
+    if n2_enter is None:
+        n2_enter = scene.mat_ior[hit.obj] if scene.static.n_objects else one
     if not ids:
         return one, n2_enter
 
@@ -385,7 +466,8 @@ class Comps(NamedTuple):
     n2: jnp.ndarray
 
 
-def prepare_hit(scene: Scene, o, d, hit: HitInfo, cfg: RenderConfig) -> Comps:
+def prepare_hit(scene: Scene, o, d, hit: HitInfo, cfg: RenderConfig,
+                n2_enter=None) -> Comps:
     """Derive the shading frame for a wavefront of hits
     (reference: src/intersection.rs:17-77). Misses carry finite dummy values;
     callers mask on hit.valid."""
@@ -397,7 +479,7 @@ def prepare_hit(scene: Scene, o, d, hit: HitInfo, cfg: RenderConfig) -> Comps:
     inside = dot(n_raw, eyev) < 0.0
     normalv = jnp.where(inside[:, None], -n_raw, n_raw)
     reflectv = reflect(d, normalv)
-    n1, n2 = refraction_indices(scene, o, d, hit, cfg)
+    n1, n2 = refraction_indices(scene, o, d, hit, cfg, n2_enter=n2_enter)
     return Comps(
         point=point,
         eyev=eyev,
@@ -438,7 +520,9 @@ def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None):
 
     hit = closest_hit(scene, o, d, cfg)
     valid = hit.valid
-    comps = prepare_hit(scene, o, d, hit, cfg)
+    obj = hit.obj
+    rec = object_record(scene, obj)  # one fused gather of all shading data
+    comps = prepare_hit(scene, o, d, hit, cfg, n2_enter=rec["ior"])
     point, eyev, normalv = comps.point, comps.eyev, comps.normalv
     # Dead lanes (misses) still flow through shadow/secondary sweeps; parking
     # their ray origins far outside every AABB makes the cluster cull reject
@@ -447,26 +531,29 @@ def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None):
     over = jnp.where(valid[:, None], comps.over_point, far)
     under = jnp.where(valid[:, None], comps.under_point, far)
 
-    obj = hit.obj
     # pattern-space sampling; pattern-less objects read the material color
     # directly (keeping mat_color a live differentiable parameter)
-    pat_kind = scene.pat_kind[obj]
-    pat_p = jnp.einsum("rij,rj->ri", scene.pat_inv[obj][:, :, :3], point) + scene.pat_inv[obj][:, :, 3]
-    base_color = patterns.color_at(pat_p, pat_kind, scene.pat_a[obj], scene.pat_b[obj])
+    pat_kind = rec["pat_kind"]
+    pat_p = jnp.einsum("rij,rj->ri", rec["pat_inv"][:, :, :3], point) + rec["pat_inv"][:, :, 3]
+    base_color = patterns.color_at(pat_p, pat_kind, rec["pat_a"], rec["pat_b"])
     base_color = jnp.where(
-        (pat_kind == patterns.NONE)[:, None], scene.mat_color[obj], base_color)
+        (pat_kind == patterns.NONE)[:, None], rec["color"], base_color)
 
-    shadowed = (
-        is_shadowed(scene, over, cfg)
-        if cfg.shadows
-        else jnp.zeros_like(valid)
-    )
+    if cfg.shadows:
+        # occlusion only affects the image where the surface faces the light
+        # (lighting zeroes diffuse+specular when light·normal < 0 regardless
+        # of shadow, src/material.rs:57-67) — drop back-facing lanes from the
+        # shadow sweep
+        facing = dot(normalize(scene.light_pos - point), normalv) >= 0.0
+        shadowed = is_shadowed(scene, over, cfg, live=valid & facing)
+    else:
+        shadowed = jnp.zeros_like(valid)
     surface = lighting.lighting(
         base_color,
-        scene.mat_ambient[obj],
-        scene.mat_diffuse[obj],
-        scene.mat_specular[obj],
-        scene.mat_shininess[obj],
+        rec["ambient"],
+        rec["diffuse"],
+        rec["specular"],
+        rec["shininess"],
         scene.light_pos,
         scene.light_intensity,
         point,
@@ -476,13 +563,26 @@ def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None):
     )
 
     can_branch = budget >= 4  # children shade only if (budget-3) >= 1
-    reflective = scene.mat_reflective[obj]
-    transparency = scene.mat_transparency[obj]
+    reflective = rec["reflective"]
+    transparency = rec["transparency"]
+
+    # Dead/irrelevant secondary lanes are parked pointing AWAY from the
+    # scene (origin far out on +1,1,1, direction continuing outward), so the
+    # traversal schedule culls them: every AABB is behind the ray (tmax < 0).
+    # Matches the reference's early-outs (reflective == 0 / transparency == 0
+    # return BLACK without spawning a ray, src/world.rs:117-119,132-134).
+    park_d = jnp.full_like(d, 0.5773502692)
 
     refl = jnp.zeros_like(o)
     if can_branch and st.any_reflective:
         # (src/intersection.rs:27, world.rs:125)
-        refl = color_at(scene, over, comps.reflectv, cfg, budget - 3) * reflective[:, None]
+        live_r = (valid & (reflective > 0.0))[:, None]
+        refl = color_at(
+            scene,
+            jnp.where(live_r, over, far),
+            jnp.where(live_r, comps.reflectv, park_d),
+            cfg, budget - 3,
+        ) * reflective[:, None]
 
     refr = jnp.zeros_like(o)
     n1, n2 = comps.n1, comps.n2
@@ -494,8 +594,14 @@ def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None):
         tir = sin2_t > 1.0
         cos_t = safe_sqrt(1.0 - jnp.minimum(sin2_t, 1.0))
         refr_dir = normalv * (n_ratio * cos_i - cos_t)[:, None] - eyev * n_ratio[:, None]
+        live_t = (valid & (transparency > 0.0) & ~tir)[:, None]
         refr = (
-            color_at(scene, under, refr_dir, cfg, budget - 3)
+            color_at(
+                scene,
+                jnp.where(live_t, under, far),
+                jnp.where(live_t, refr_dir, park_d),
+                cfg, budget - 3,
+            )
             * transparency[:, None]
             * jnp.where(tir, 0.0, 1.0)[:, None]
         )

@@ -33,10 +33,14 @@ def teapot32():
     return scene, o, d
 
 
-def test_pallas_matches_bruteforce(teapot32):
+IMPLS = ("pallas_interpret", "mxu_interpret")
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_pallas_matches_bruteforce(teapot32, impl):
     scene, o, d = teapot32
     brute = RenderConfig(dtype="float32", mesh_impl="bruteforce")
-    pallas = RenderConfig(dtype="float32", mesh_impl="pallas_interpret")
+    pallas = RenderConfig(dtype="float32", mesh_impl=impl)
     t_b, i_b = integrator.mesh_closest(scene, o, d, brute)
     t_p, i_p = integrator.mesh_closest(scene, o, d, pallas)
     t_b, t_p = np.asarray(t_b), np.asarray(t_p)
@@ -48,22 +52,24 @@ def test_pallas_matches_bruteforce(teapot32):
     assert same[hit_b].mean() > 0.99
 
 
-def test_pallas_render_matches_bruteforce(teapot32):
+@pytest.mark.parametrize("impl", IMPLS)
+def test_pallas_render_matches_bruteforce(teapot32, impl):
     scene, o, d = teapot32
     world, cam = REGISTRY["teapot"](32)
     img_b = np.asarray(render(scene, cam, RenderConfig(
         dtype="float32", ray_tile=512, mesh_impl="bruteforce")))
     img_p = np.asarray(render(scene, cam, RenderConfig(
-        dtype="float32", ray_tile=512, mesh_impl="pallas_interpret")))
+        dtype="float32", ray_tile=512, mesh_impl=impl)))
     diff = np.max(np.abs(img_b - img_p), axis=-1)
     assert (diff > 1e-4).mean() < 0.01
 
 
-def test_pallas_grad_flows_through_refinement(teapot32):
+@pytest.mark.parametrize("impl", IMPLS)
+def test_pallas_grad_flows_through_refinement(teapot32, impl):
     import jax
 
     scene, o, d = teapot32
-    cfg = RenderConfig(dtype="float32", mesh_impl="pallas_interpret")
+    cfg = RenderConfig(dtype="float32", mesh_impl=impl)
     mid = o.shape[0] // 2  # center rays actually hit the teapot
     o, d = o[mid : mid + 64], d[mid : mid + 64]
 
@@ -76,3 +82,29 @@ def test_pallas_grad_flows_through_refinement(teapot32):
     g = np.asarray(g)
     assert np.all(np.isfinite(g))
     assert np.abs(g).sum() > 0.0
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_kernel_grad_matches_bruteforce(teapot32, impl):
+    """The custom_jvp around the forward-only kernel must give the same
+    vertex/ray gradients as differentiating the brute-force sweep."""
+    import jax
+
+    scene, o, d = teapot32
+    mid = o.shape[0] // 2
+    o, d = o[mid : mid + 64], d[mid : mid + 64]
+
+    def loss_fn(cfg):
+        def loss(tri_p1, o, d):
+            s = dataclasses.replace(scene, tri_p1=tri_p1)
+            t, idx = integrator.mesh_closest(s, o, d, cfg)
+            return jnp.sum(jnp.where(t < BIG / 2, t, 0.0))
+        return loss
+
+    gk = jax.grad(loss_fn(RenderConfig(dtype="float32", mesh_impl=impl)),
+                  argnums=(0, 1, 2))(scene.tri_p1, o, d)
+    gb = jax.grad(loss_fn(RenderConfig(dtype="float32", mesh_impl="bruteforce")),
+                  argnums=(0, 1, 2))(scene.tri_p1, o, d)
+    for a, b in zip(gk, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
