@@ -336,8 +336,15 @@ def _tile_cluster_schedule(o, d, aabb, rt: int, max_t=None):
     if max_t is not None:
         tile_ov = tile_ov & (tmin < mt_hi[:, None])
     entry = jnp.where(tile_ov, jnp.maximum(tmin, 0.0), big)
-    order = jnp.argsort(entry, axis=1).astype(jnp.int32)         # (nt, C)
-    tmin_sorted = jnp.take_along_axis(entry, order, axis=1)
+    # front-to-back order by counting rank + one-hot scatter: C is tiny
+    # (dozens), so the (nt, C, C) comparison is far cheaper than lax.sort
+    iota = jnp.arange(C, dtype=jnp.int32)
+    before = (entry[:, :, None] < entry[:, None, :]) | (
+        (entry[:, :, None] == entry[:, None, :]) & (iota[:, None] < iota[None, :]))
+    rank = jnp.sum(before, axis=1, dtype=jnp.int32)              # (nt, C)
+    onehot = (rank[:, :, None] == iota[None, None, :])           # src c -> slot
+    order = jnp.sum(onehot * iota[None, :, None], axis=1, dtype=jnp.int32)
+    tmin_sorted = jnp.sum(jnp.where(onehot, entry[:, :, None], 0.0), axis=1)
     count = jnp.sum(tile_ov, axis=1, dtype=jnp.int32)[:, None]   # (nt, 1)
     return order, count, tmin_sorted
 
