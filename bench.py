@@ -18,7 +18,12 @@ import time
 
 
 def main() -> int:
-    width = int(sys.argv[1]) if len(sys.argv) > 1 else 1920
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    width = int(args[0]) if args else 1920
+    scene_name = "cow"
+    for a in sys.argv[1:]:
+        if a.startswith("--scene="):
+            scene_name = a.split("=", 1)[1]
 
     import jax
 
@@ -31,7 +36,7 @@ def main() -> int:
     from rtc_tpu.utils.config import RenderConfig
     from rtc_tpu.utils.profiling import rays_per_pixel
 
-    world, cam = REGISTRY["cow"](width)
+    world, cam = REGISTRY[scene_name](width)
     cfg = RenderConfig(dtype="float32", ray_tile=8192)
     scene = compile_scene(world, dtype=cfg.jnp_dtype())
 
@@ -57,7 +62,7 @@ def main() -> int:
     rays_per_s = casts / wall
 
     print(json.dumps({
-        "metric": f"rays/s (cow.obj {cam.hsize}x{cam.vsize}, depth 5, f32, "
+        "metric": f"rays/s ({scene_name} {cam.hsize}x{cam.vsize}, depth 5, f32, "
                   f"{jax.devices()[0].device_kind})",
         "value": round(rays_per_s),
         "unit": "rays/s",
