@@ -443,20 +443,108 @@ def _anyhit_kernel_mxu(rayf_ref, maxt_ref, feat_ref, ids_ref, cnt_ref,
     hit_ref[0, :] = found
 
 
+# triangles whose feature slab ((10, 4T) f32 = 160 B/tri) comfortably fits
+# VMEM alongside ray tiles; larger meshes stream in superblocks
+VMEM_TRI_BUDGET = 49152
+
+
+def _blocked(tri_p1, leaf: int, budget: int):
+    """Number of cluster superblocks needed for this mesh (1 = no split)."""
+    t = tri_p1.shape[0]
+    if t <= budget:
+        return 1
+    per_block = max(budget // leaf, 1)
+    n_c = t // leaf
+    return -(-n_c // per_block)
+
+
+def _block_tables(p1, e1, e2, aabb, n_blocks: int, leaf: int):
+    """Split the triangle/cluster tables into n_blocks equal superblocks,
+    padding with empty clusters (lo > hi: never scheduled) and degenerate
+    triangles (zero edges: det-guard rejects)."""
+    C = aabb.shape[0]
+    per_block = -(-C // n_blocks)
+    cpad = n_blocks * per_block - C
+    if cpad:
+        empty = jnp.zeros((cpad, 6), aabb.dtype)
+        empty = empty.at[:, :3].set(1.0).at[:, 3:].set(-1.0)
+        aabb = jnp.concatenate([aabb, empty])
+        z = jnp.zeros((cpad * leaf, 3), p1.dtype)
+        p1 = jnp.concatenate([p1, z])
+        e1 = jnp.concatenate([e1, z])
+        e2 = jnp.concatenate([e2, z])
+    tb = per_block * leaf
+    return (p1.reshape(n_blocks, tb, 3), e1.reshape(n_blocks, tb, 3),
+            e2.reshape(n_blocks, tb, 3), aabb.reshape(n_blocks, per_block, 6),
+            per_block)
+
+
+def _closest_hit_blocked(o, d, p1, e1, e2, aabb, n_blocks: int, leaf: int,
+                         ray_tile: int, eps: float, interpret: bool):
+    """HBM-streaming path: lax.map over cluster superblocks (each block's
+    feature slab fits VMEM), min-by-t combine across blocks."""
+    p1b, e1b, e2b, aabbb, per_block = _block_tables(p1, e1, e2, aabb,
+                                                    n_blocks, leaf)
+    empty_sup = jnp.zeros((0, 6), aabb.dtype)
+
+    def one(block):
+        bp1, be1, be2, bab = block
+        return mesh_closest_hit_mxu(
+            o, d, bp1, be1, be2, bab, empty_sup, n_super=0, leaf=leaf,
+            ray_tile=ray_tile, eps=eps, interpret=interpret,
+            vmem_tri_budget=per_block * leaf)
+
+    ts, idxs = jax.lax.map(one, (p1b, e1b, e2b, aabbb))     # (B, R) each
+    offs = (jnp.arange(n_blocks, dtype=jnp.int32) * (per_block * leaf))[:, None]
+    idx_g = jnp.where(idxs >= 0, idxs + offs, -1)
+    best = jnp.argmin(ts, axis=0)                           # miss rows are BIG
+    t = jnp.take_along_axis(ts, best[None, :], axis=0)[0]
+    idx = jnp.take_along_axis(idx_g, best[None, :], axis=0)[0]
+    return t, idx
+
+
+def _any_hit_blocked(o, d, max_t, p1, e1, e2, aabb, n_blocks: int, leaf: int,
+                     ray_tile: int, eps: float, interpret: bool):
+    p1b, e1b, e2b, aabbb, per_block = _block_tables(p1, e1, e2, aabb,
+                                                    n_blocks, leaf)
+    empty_sup = jnp.zeros((0, 6), aabb.dtype)
+
+    def one(block):
+        bp1, be1, be2, bab = block
+        return mesh_any_hit_mxu(
+            o, d, max_t, bp1, be1, be2, bab, empty_sup, n_super=0, leaf=leaf,
+            ray_tile=ray_tile, eps=eps, interpret=interpret,
+            vmem_tri_budget=per_block * leaf)
+
+    hits = jax.lax.map(one, (p1b, e1b, e2b, aabbb))         # (B, R)
+    return jnp.any(hits, axis=0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_super", "super_width", "leaf", "ray_tile", "eps",
-                     "interpret"),
+                     "interpret", "vmem_tri_budget"),
 )
 def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
                          super_aabb, n_super: int, leaf: int,
                          super_width: int = 8, ray_tile: int = 128,
-                         eps: float = EPSILON, interpret: bool = False):
+                         eps: float = EPSILON, interpret: bool = False,
+                         vmem_tri_budget: int = VMEM_TRI_BUDGET):
     """Closest triangle hit with MXU cluster tests and a precomputed
     front-to-back traversal schedule. Same contract as
     mesh_closest_hit_pallas. (super_aabb/n_super/super_width are accepted for
-    signature parity; the schedule subsumes the hierarchy levels.)"""
+    signature parity; the schedule subsumes the hierarchy levels.)
+
+    Meshes whose feature slab exceeds the VMEM budget stream through the
+    kernel in cluster superblocks (lax.map over block-sliced tables) with an
+    XLA min-by-t combine — HBM-resident geometry, VMEM-resident blocks.
+    """
     del super_aabb, n_super, super_width
+    n_blocks = _blocked(tri_p1, leaf, vmem_tri_budget)
+    if n_blocks > 1:
+        return _closest_hit_blocked(
+            o, d, tri_p1, tri_e1, tri_e2, cluster_aabb, n_blocks, leaf,
+            ray_tile, eps, interpret)
     R = o.shape[0]
     rt = min(ray_tile, max(R, 128))
     pad = (-R) % rt
@@ -498,15 +586,22 @@ def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
 @functools.partial(
     jax.jit,
     static_argnames=("n_super", "super_width", "leaf", "ray_tile", "eps",
-                     "interpret"),
+                     "interpret", "vmem_tri_budget"),
 )
 def mesh_any_hit_mxu(o, d, max_t, tri_p1, tri_e1, tri_e2, cluster_aabb,
                      super_aabb, n_super: int, leaf: int,
                      super_width: int = 8, ray_tile: int = 128,
-                     eps: float = EPSILON, interpret: bool = False):
+                     eps: float = EPSILON, interpret: bool = False,
+                     vmem_tri_budget: int = VMEM_TRI_BUDGET):
     """Occlusion query with MXU cluster tests and a precomputed traversal
-    schedule. Same contract as mesh_any_hit_pallas."""
+    schedule. Same contract as mesh_any_hit_pallas. Oversized meshes stream
+    in superblocks (see mesh_closest_hit_mxu)."""
     del super_aabb, n_super, super_width
+    n_blocks = _blocked(tri_p1, leaf, vmem_tri_budget)
+    if n_blocks > 1:
+        return _any_hit_blocked(
+            o, d, max_t, tri_p1, tri_e1, tri_e2, cluster_aabb, n_blocks,
+            leaf, ray_tile, eps, interpret)
     R = o.shape[0]
     rt = min(ray_tile, max(R, 128))
     pad = (-R) % rt

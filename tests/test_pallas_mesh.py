@@ -108,3 +108,28 @@ def test_kernel_grad_matches_bruteforce(teapot32, impl):
     for a, b in zip(gk, gb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_blocked_streaming_matches_single_call(teapot32):
+    """Meshes beyond the VMEM budget stream in cluster superblocks; results
+    must match the single-block kernel exactly."""
+    from rtc_tpu.ops.pallas.mesh_intersect import (
+        mesh_any_hit_mxu, mesh_closest_hit_mxu)
+
+    scene, o, d = teapot32
+    o = o[::7][:256]
+    d = d[::7][:256]
+    leaf = scene.static.cluster_size
+    args = (scene.tri_p1, scene.tri_e1, scene.tri_e2, scene.cluster_aabb,
+            scene.super_aabb)
+    kw = dict(n_super=scene.static.n_super, leaf=leaf, interpret=True)
+    t1, i1 = mesh_closest_hit_mxu(o, d, *args, **kw)
+    # budget of 2 clusters -> many superblocks
+    t2, i2 = mesh_closest_hit_mxu(o, d, *args, vmem_tri_budget=2 * leaf, **kw)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-6)
+
+    mt = jnp.full(o.shape[:1], 50.0, jnp.float32)
+    h1 = mesh_any_hit_mxu(o, d, mt, *args, **kw)
+    h2 = mesh_any_hit_mxu(o, d, mt, *args, vmem_tri_budget=2 * leaf, **kw)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
