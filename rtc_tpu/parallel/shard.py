@@ -99,10 +99,49 @@ def _render_sharded_rays(scene: Scene, o, d, cfg: RenderConfig, mesh: Mesh,
     )(scene, o, d)
 
 
+import functools
+
+import numpy as np
+
+
+@functools.lru_cache(maxsize=16)
+def _balanced_morton_perm(vsize: int, hsize: int, n_shards: int, tile: int):
+    """(perm, inv) composing two static reorderings:
+
+    1. Morton order — each `tile`-ray block is a compact screen region, so
+       the Pallas traversal schedule culls sharply (render/order.py);
+    2. round-robin tile dealing — tile k goes to device k % D, so every
+       device receives a spatially-spread MIX of screen regions. A contiguous
+       Morton split would concentrate the geometry-heavy regions on one or
+       two devices (data-parallel stragglers); dealing keeps per-device work
+       even while preserving intra-tile coherence.
+
+    Returns index arrays over the PADDED ray count (multiple of D * tile).
+    """
+    from ..render.order import morton_perm
+
+    mperm, _ = morton_perm(vsize, hsize)
+    n = vsize * hsize
+    padded = -(-n // (n_shards * tile)) * (n_shards * tile)
+    full = np.concatenate([mperm, np.arange(n, padded, dtype=np.int32)])
+    # perm[slot] = source pixel; slot layout (D, nb/D, tile) gives device d
+    # the Morton tiles d, d+D, d+2D, ...
+    perm = (full.reshape(-1, n_shards, tile)
+            .transpose(1, 0, 2)
+            .reshape(-1))
+    inv = np.argsort(perm, kind="stable").astype(np.int32)
+    return perm.astype(np.int32), inv
+
+
 def render_sharded(scene: Scene, camera: Camera, cfg: RenderConfig = DEFAULT_CONFIG,
                    mesh: Mesh | None = None, shard_prims: bool = False):
     """Render with rays sharded over mesh axis 'rays' (and optionally the
-    triangle table over 'prims'). Returns an (V, H, 3) image."""
+    triangle table over 'prims'). Returns an (V, H, 3) image.
+
+    Ray order: Morton tiles dealt round-robin across the 'rays' axis for
+    load balance (see _balanced_morton_perm); pure permutation, applied
+    outside the sharded jit.
+    """
     from .mesh import make_mesh
 
     mesh = mesh or make_mesh()
@@ -122,10 +161,23 @@ def render_sharded(scene: Scene, camera: Camera, cfg: RenderConfig = DEFAULT_CON
         dtype,
     )
     n_rays = o.shape[0]
-    pad = (-n_rays) % n_ray_shards
-    o = jnp.pad(o, ((0, pad), (0, 0)))
-    d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+    morton = cfg.ray_order == "morton"
+    if morton:
+        tile = min(cfg.ray_tile, max(128, n_rays // n_ray_shards))
+        perm, inv = _balanced_morton_perm(
+            camera.vsize, camera.hsize, n_ray_shards, tile)
+        pad = len(perm) - n_rays
+        o = jnp.pad(o, ((0, pad), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+        o, d = o[jnp.asarray(perm)], d[jnp.asarray(perm)]
+        cfg = dataclasses.replace(cfg, ray_order="scanline")
+    else:
+        pad = (-n_rays) % n_ray_shards
+        o = jnp.pad(o, ((0, pad), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
 
     colors = _render_sharded_rays(scene, o, d, cfg, mesh,
                                   shard_prims and n_prim_shards > 1)
+    if morton:
+        colors = colors[jnp.asarray(inv)]
     return colors[:n_rays].reshape(camera.vsize, camera.hsize, 3)
