@@ -29,25 +29,64 @@ _TRI_FIELDS = ("tri_p1", "tri_e1", "tri_e2", "tri_n", "tri_obj",
 
 
 def scene_pspecs(scene: Scene, shard_prims: bool) -> Scene:
-    """A Scene-shaped pytree of PartitionSpecs."""
+    """A Scene-shaped pytree of PartitionSpecs. Under primitive sharding the
+    triangle slabs AND the cluster-AABB table shard together (clusters are
+    contiguous Morton-ordered chunks of the triangle table, so a contiguous
+    tri shard owns a contiguous cluster range — each device keeps a valid
+    local acceleration structure and the Pallas kernels run per shard)."""
     specs = {}
+    n_c = scene.static.n_clusters
     for f in dataclasses.fields(Scene):
         if f.name == "static":
             continue
         arr = getattr(scene, f.name)
-        if (shard_prims and f.name in _TRI_FIELDS
-                and arr.shape[0] == scene.static.n_tris and arr.shape[0]):
-            specs[f.name] = P("prims", *([None] * (arr.ndim - 1)))
-        else:
-            specs[f.name] = P()
+        shard = False
+        if shard_prims and arr.shape[0]:
+            if f.name in _TRI_FIELDS and arr.shape[0] == scene.static.n_tris:
+                shard = True
+            if f.name in ("cluster_aabb", "super_aabb") and arr.shape[0] in (
+                    n_c, scene.static.n_super):
+                shard = True
+        specs[f.name] = (
+            P("prims", *([None] * (arr.ndim - 1))) if shard else P())
     return Scene(**specs, static=scene.static)
 
 
 def pad_tris(scene: Scene, multiple: int) -> Scene:
     """Pad the triangle table with degenerate (never-hit) triangles so it
     splits evenly across the 'prims' axis. Degenerate rows have zero edges,
-    so Möller-Trumbore's det-epsilon guard rejects them."""
+    so Möller-Trumbore's det-epsilon guard rejects them.
+
+    When the scene carries a cluster acceleration structure, padding happens
+    at CLUSTER granularity (empty boxes + degenerate leaves) so each shard
+    keeps T_local == C_local * leaf and the Pallas kernels stay usable."""
     n = scene.static.n_tris
+    leaf = scene.static.cluster_size
+    if leaf and scene.static.n_clusters:
+        n_c = scene.static.n_clusters
+        cpad = (-n_c) % multiple
+        spad = (-(scene.static.n_super or 0)) % multiple
+        if cpad == 0 and n_c and spad == 0:
+            return scene
+        empty = jnp.zeros((cpad, 6), scene.cluster_aabb.dtype)
+        empty = empty.at[:, :3].set(1.0).at[:, 3:].set(-1.0)
+        repl = {"cluster_aabb": jnp.concatenate([scene.cluster_aabb, empty])}
+        if scene.super_aabb.shape[0]:
+            sempty = jnp.zeros((spad, 6), scene.super_aabb.dtype)
+            sempty = sempty.at[:, :3].set(1.0).at[:, 3:].set(-1.0)
+            repl["super_aabb"] = jnp.concatenate([scene.super_aabb, sempty])
+        for name in _TRI_FIELDS:
+            arr = getattr(scene, name)
+            if arr.shape[0] != n:
+                continue
+            widths = [(0, cpad * leaf)] + [(0, 0)] * (arr.ndim - 1)
+            repl[name] = jnp.pad(arr, widths)
+        static = scene.static._replace(
+            n_tris=n + cpad * leaf,
+            n_clusters=n_c + cpad,
+            n_super=(scene.static.n_super or 0) + spad,
+        )
+        return dataclasses.replace(scene, **repl, static=static)
     if n % multiple == 0 and n > 0:
         return scene
     pad = multiple - (n % multiple) if n else multiple

@@ -168,12 +168,16 @@ def _resolve_mesh_impl(scene: Scene, cfg: RenderConfig, dtype) -> str:
 
         ok = (
             scene.static.n_clusters > 0
-            and cfg.prim_axis is None
             and dtype == jnp.float32
             and jax.default_backend() != "cpu"
         )
         impl = "mxu" if ok else "bruteforce"
     if impl in _KERNEL_IMPLS and not scene.static.n_clusters:
+        impl = "bruteforce"
+    if impl.startswith("pallas") and cfg.prim_axis is not None:
+        # the elementwise kernel's supercluster grouping assumes the global
+        # cluster table; under primitive sharding use mxu (schedule is built
+        # from the local cluster table) or the brute-force sweep
         impl = "bruteforce"
     return impl
 
@@ -337,7 +341,7 @@ def is_shadowed(scene: Scene, point, cfg: RenderConfig, live=None):
 
     st = scene.static
     impl = _resolve_mesh_impl(scene, cfg, point.dtype)
-    if impl in _KERNEL_IMPLS and cfg.prim_axis is None:
+    if impl in _KERNEL_IMPLS:
         shadowed = jnp.zeros(point.shape[:1], bool)
         if st.n_prims:
             t, valid = prim_candidates(scene, point, direction, cfg.epsilon)
@@ -359,6 +363,11 @@ def is_shadowed(scene: Scene, point, cfg: RenderConfig, live=None):
                 eps=cfg.epsilon,
                 interpret=impl.endswith("_interpret"),
             )
+            if cfg.prim_axis is not None:
+                # each device saw only its triangle shard: occluded anywhere
+                # == OR across the 'prims' axis (one small ICI all-reduce)
+                found = jax.lax.psum(
+                    found.astype(jnp.int32), cfg.prim_axis) > 0
             shadowed = shadowed | found
         return shadowed
 

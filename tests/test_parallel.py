@@ -71,3 +71,16 @@ def test_full_2d_mesh_with_reflection_scene(eight_devices):
     mesh = make_mesh(2, 4)
     img_sh = np.asarray(render_sharded(scene, cam, CFG, mesh=mesh, shard_prims=True))
     assert_images_match(img_sh, img_ref)
+
+
+def test_prim_sharded_kernel_matches_single_device(eight_devices):
+    """Tensor-parallel triangle sharding with the Pallas/MXU kernel running
+    per shard (local cluster tables + min-by-t / psum-OR reductions)."""
+    world, cam = REGISTRY["teapot"](32)
+    scene = compile_scene(world, dtype=np.float32)
+    cfg = RenderConfig(ray_tile=512, mesh_impl="mxu_interpret")
+    img_ref = np.asarray(render(scene, cam, cfg))
+    mesh = make_mesh(2, 4)
+    img_sh = np.asarray(
+        render_sharded(scene, cam, cfg, mesh=mesh, shard_prims=True))
+    assert_images_match(img_sh, img_ref)
