@@ -76,3 +76,24 @@ def test_recover_object_translation():
     # the optimized inverse translation should approach -0.15 in x
     inv = np.asarray(params["prim_inv"])[0]
     assert -0.2 < inv[0, 3] < -0.09
+
+
+def test_param_checkpoint_roundtrip(tmp_path):
+    """Orbax (or npz-fallback) save/restore of the trainable parameter
+    pytree preserves every table bit-exactly."""
+    import numpy as np
+
+    from rtc_tpu.diff import checkpoint as ckpt
+    from rtc_tpu.diff import render_grad as RG
+    from rtc_tpu.models.scenes import REGISTRY
+    from rtc_tpu.scene.compile import compile_scene
+
+    world, _ = REGISTRY["three_spheres"](16)
+    scene = compile_scene(world, dtype=np.float32)
+    params = RG.extract_params(scene)
+    path = ckpt.save(str(tmp_path / "params"), params, step=3)
+    restored = ckpt.restore(path)
+    assert set(restored) == set(params)
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(params[k]),
+                                      np.asarray(restored[k]))
