@@ -38,6 +38,11 @@ SPECS = {
     "hexagon": 32,
     "teapot": 24,
     "teapot_smooth": 24,
+    # flagship bench/driver scenes: every scene the benchmarks run is pinned
+    "cow": 32,
+    "pumpkin": 24,
+    "teddy": 24,
+    "single_sphere": 24,
 }
 
 HERE = os.path.dirname(__file__)

@@ -27,6 +27,11 @@ SPECS = {
     "hexagon": 32,
     "teapot": 24,
     "teapot_smooth": 24,
+    # flagship bench/driver scenes: every scene the benchmarks run is pinned
+    "cow": 32,
+    "pumpkin": 24,
+    "teddy": 24,
+    "single_sphere": 24,
 }
 
 
@@ -38,3 +43,60 @@ def test_golden(name):
     scene = compile_scene(world, dtype=np.float64)
     img = np.asarray(render(scene, cam, RenderConfig(dtype="float64", ray_tile=512)))
     np.testing.assert_allclose(img, golden, atol=1e-9, rtol=0)
+
+
+# --- f32 production path vs f64 conformance path, all registry scenes --------
+#
+# The bench runs f32; conformance runs f64. This pins the f32 path to the f64
+# goldens after 8-bit PPM quantization (the reference writes 0-255 PPM,
+# src/canvas.rs:61-63). No epsilon retuning was needed: diffs are confined to
+# genuine decision boundaries, asserted two ways per scene:
+#
+#   * match_frac — fraction of pixels whose 8-bit PPM bytes are IDENTICAL.
+#     The shortfall is sub-pixel decision noise at these tiny golden widths:
+#     the table scene's walls carry checkers at 0.05 object-scale (cells ~=
+#     pixel size at width 32, reference src/main.rs:165-176), so f32 rounding
+#     legitimately flips parity on a band of wall/reflection pixels by a few
+#     quantization levels (measured max abs err 0.087, no structural flips).
+#   * flip_budget — pixels where |f32 - f64| > 0.15, i.e. structural
+#     hit-vs-miss or shadow flips. Only hexagon has any: its 0.625-world-unit
+#     cylinders subtend ~1 px at width 32, so silhouette pixels flip whole
+#     hit decisions (measured 11-12 px). Everywhere else the budget is ~0.
+
+F32_SPECS = dict(SPECS)
+
+# (min exact-match fraction, structural-flip pixel budget)
+F32_BUDGET = {
+    "default_world": (1.0, 0),
+    "three_spheres": (0.99, 1),
+    "glass_spheres": (0.98, 2),
+    "table": (0.80, 0),      # sub-pixel wall checkers: many 1-5 level diffs
+    "hexagon": (0.95, 16),   # sub-pixel silhouettes: whole hit/miss flips
+    "teapot": (0.99, 2),
+    "teapot_smooth": (0.99, 2),
+    "cow": (0.98, 2),
+    "pumpkin": (0.98, 2),
+    "teddy": (0.98, 2),
+    "single_sphere": (1.0, 0),
+}
+
+
+def _quantize(img):
+    return np.clip(np.asarray(img, np.float64) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("name", sorted(F32_SPECS))
+def test_f32_matches_f64_after_quantization(name):
+    golden = np.load(os.path.join(GOLDEN, f"{name}.npy"))
+    world, cam = REGISTRY[name](F32_SPECS[name])
+    scene = compile_scene(world, dtype=np.float32)
+    img32 = np.asarray(render(scene, cam, RenderConfig(dtype="float32", ray_tile=512)))
+    q_equal = np.all(_quantize(golden) == _quantize(img32), axis=2)
+    match_frac = float(q_equal.mean())
+    flips = int((np.abs(golden - img32).max(axis=2) > 0.15).sum())
+    min_frac, flip_budget = F32_BUDGET[name]
+    assert match_frac >= min_frac and flips <= flip_budget, (
+        f"{name}: match_frac={match_frac:.4f} (min {min_frac}), "
+        f"structural flips={flips} (budget {flip_budget}), max abs err "
+        f"{np.max(np.abs(golden - img32)):.2e}"
+    )
