@@ -17,6 +17,67 @@ import sys
 import time
 
 
+def check_kernel_parity(scene, cam, cfg) -> None:
+    """On-device kernel correctness gate: the production (MXU/Pallas,
+    non-interpret) closest-hit and any-hit results must equal the pure-jnp
+    brute-force sweep ON THE REAL CHIP for a 10k-ray cow wavefront. The test
+    suite pins kernels in interpret mode on CPU; this catches Mosaic lowering
+    bugs that would otherwise ship silently. Crashes the bench on mismatch."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rtc_tpu.render import integrator
+    from rtc_tpu.render.camera import camera_rays
+
+    if integrator._resolve_mesh_impl(scene, cfg, cfg.jnp_dtype()) not in \
+            integrator._KERNEL_IMPLS:
+        print("kernel parity: skipped (brute-force impl active)",
+              file=sys.stderr)
+        return
+
+    dtype = cfg.jnp_dtype()
+    o, d = camera_rays(
+        jnp.asarray(cam.transform_inverse, dtype), cam.hsize, cam.vsize,
+        jnp.asarray(cam.half_width, dtype), jnp.asarray(cam.half_height, dtype),
+        jnp.asarray(cam.pixel_size, dtype), dtype)
+    R = 10240
+    step = max(1, o.shape[0] // R)
+    o, d = o[::step][:R], d[::step][:R]
+
+    t_k, i_k = integrator.mesh_closest(scene, o, d, cfg)
+    cfg_bf = dataclasses.replace(cfg, mesh_impl="bruteforce")
+    t_b, i_b = integrator.mesh_closest(scene, o, d, cfg_bf)
+    t_k, i_k, t_b, i_b = map(np.asarray, (t_k, i_k, t_b, i_b))
+    from rtc_tpu.utils.constants import BIG
+
+    hit_k, hit_b = t_k < BIG * 0.5, t_b < BIG * 0.5
+    assert (hit_k == hit_b).all(), (
+        f"kernel/bruteforce hit masks differ on {(hit_k != hit_b).sum()} rays")
+    dt = np.abs(t_k - t_b)[hit_k]
+    assert (dt <= 1e-3).all(), f"closest-hit t diverges: max {dt.max()}"
+    # indices must match except at genuine ties (equal t to tolerance)
+    idx_mismatch = hit_k & (i_k != i_b)
+    assert (np.abs(t_k - t_b)[idx_mismatch] <= 1e-3).all(), (
+        "kernel picked a non-closest triangle")
+
+    # any-hit occlusion parity on the same wavefront's shadow rays
+    t_safe = jnp.asarray(np.where(hit_k, t_k, 1.0), dtype)
+    point = o + d * t_safe[:, None]
+    occ_k = integrator.is_shadowed(scene, point, cfg,
+                                   live=jnp.asarray(hit_k))
+    occ_b = integrator.is_shadowed(scene, point, cfg_bf,
+                                   live=jnp.asarray(hit_k))
+    nd = int((np.asarray(occ_k) != np.asarray(occ_b)).sum())
+    # shadow epsilons differ at silhouette knife-edges; allow a whisker
+    assert nd <= max(2, R // 2048), f"occlusion parity: {nd} rays differ"
+    print(f"kernel parity ok on {jax.devices()[0].device_kind}: "
+          f"max |dt|={float(dt.max()) if dt.size else 0.0:.2e}, "
+          f"occlusion diffs={nd}/{R}", file=sys.stderr)
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     width = int(args[0]) if args else 1920
@@ -49,6 +110,8 @@ def main() -> int:
         return jnp.sum(render(scene, cam, cfg))
 
     float(run())  # compile + warmup
+    if "--no-parity" not in sys.argv:
+        check_kernel_parity(scene, cam, cfg)
 
     iters = 5
     t0 = time.perf_counter()

@@ -42,7 +42,12 @@ from .scene.world import PointLight, World, default_world  # noqa: F401
 from .scene.compile import Scene, compile_scene  # noqa: F401
 from .render.camera import Camera  # noqa: F401
 from .render.renderer import render  # noqa: F401
-from .render.integrator import color_at  # noqa: F401
+from .render.integrator import (  # noqa: F401
+    Intersections,
+    color_at,
+    hit_index,
+    intersect_all,
+)
 from .io.canvas import Canvas, write_ppm  # noqa: F401
 from .utils.config import DEFAULT_CONFIG, RenderConfig  # noqa: F401
 

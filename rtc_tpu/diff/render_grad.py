@@ -78,6 +78,52 @@ def make_train_step(tx, cfg: RenderConfig = DEFAULT_CONFIG):
     return train_step
 
 
+# --- camera-pose differentiability ------------------------------------------
+#
+# Ray generation is traceable (render/camera.py: camera_rays), so the camera
+# pose (from/to/up of the view transform, src/transformations.rs:80-93, and
+# the field of view, src/camera.rs:16-41) is just another parameter pytree.
+
+CAMERA_PARAMS = ("cam_from", "cam_to", "cam_up", "cam_fov")
+
+
+def camera_params(frm, to, up, fov) -> Dict[str, jnp.ndarray]:
+    """Pack a camera pose as a trainable parameter pytree."""
+    f = lambda x: jnp.asarray(x, jnp.result_type(float))
+    return {"cam_from": f(frm), "cam_to": f(to), "cam_up": f(up),
+            "cam_fov": f(fov)}
+
+
+def camera_pose_rays(cam: Dict[str, jnp.ndarray], hsize: int, vsize: int,
+                     dtype=jnp.float32):
+    """Differentiable primary-ray wavefront from pose parameters: traced
+    view_transform -> (differentiable) matrix inverse -> camera_rays. Returns
+    (o, d) of shape (H*V, 3)."""
+    from ..ops import transforms as X
+    from ..render.camera import camera_rays
+
+    v = X.view_transform(cam["cam_from"], cam["cam_to"], cam["cam_up"])
+    inv = jnp.linalg.inv(jnp.asarray(v, dtype))
+    half_view = jnp.tan(jnp.asarray(cam["cam_fov"], dtype) / 2.0)
+    aspect = hsize / vsize
+    if aspect >= 1.0:
+        half_width, half_height = half_view, half_view / aspect
+    else:
+        half_width, half_height = half_view * aspect, half_view
+    pixel_size = half_width * 2.0 / hsize
+    return camera_rays(inv, hsize, vsize, half_width, half_height,
+                       pixel_size, dtype)
+
+
+def camera_render_loss(cam: Dict[str, jnp.ndarray], scene: Scene, target,
+                       cfg: RenderConfig, hsize: int, vsize: int):
+    """MSE between the pose-parameterized render and a target image — the
+    inverse-rendering objective for camera calibration."""
+    o, d = camera_pose_rays(cam, hsize, vsize, cfg.jnp_dtype())
+    img = integrator.color_at(scene, o, d, cfg)
+    return jnp.mean((img - target.reshape(-1, 3)) ** 2)
+
+
 def finite_diff_check(params, scene, o, d, target, cfg, name: str, index: Tuple,
                       eps: float = 1e-4):
     """Central finite difference of one parameter entry vs autodiff."""

@@ -205,6 +205,38 @@ def teapot_smooth(width: int = 400):
     return teapot_smooth_world(), _cam(width, [0, 4, -12], [0, 0, 0])
 
 
+def glass_teapot_world() -> World:
+    """Refractive-mesh stress scene: a glass teapot over a checkered floor —
+    exercises the mesh n1/n2 container walk (closed transparent meshes act as
+    refractive containers exactly like the reference's shape-agnostic
+    containers walk, src/intersection.rs:29-62)."""
+    t = Parser.from_obj_file(os.path.join(ASSETS, "teapot.obj")).obj_to_group(
+        smooth=True)
+    t.set_transform(X.translation(0, -1.0, 0))
+    t.set_material(Material(
+        color=(0.05, 0.08, 0.05), ambient=0.02, diffuse=0.15, specular=0.9,
+        shininess=300.0, reflective=0.1, transparency=0.9,
+        refractive_index=1.5))
+    floor = plane(
+        transform=X.translation(0, -1.0, 0),
+        material=Material(
+            # 4-unit cells stay resolvable at golden widths (sub-pixel
+            # checkers would turn the f32-vs-f64 comparison into parity
+            # noise); y-shifted so the plane doesn't sit on a parity
+            # knife-edge (cf. three_spheres_world)
+            pattern=checkers_pattern(
+                (0.85, 0.85, 0.85), (0.15, 0.15, 0.15)
+            ).set_transform(_mm(X.scaling(4.0, 4.0, 4.0),
+                                X.translation(0.0, 0.5, 0.0))),
+            specular=0.0, reflective=0.05))
+    return World(objects=[floor, t],
+                 light=PointLight((0.0, 6.9, -5.0), (1.0, 1.0, 0.9)))
+
+
+def glass_teapot(width: int = 400):
+    return glass_teapot_world(), _cam(width, [0, 4, -12], [0, 0, 0])
+
+
 def _obj_scene(asset: str, transform, material: Material, cam_from, cam_to,
                width: int, smooth: bool = False):
     shape = Parser.from_obj_file(os.path.join(ASSETS, asset)).obj_to_group(
@@ -311,6 +343,7 @@ REGISTRY: Dict[str, Callable[[int], Tuple[World, Camera]]] = {
     "cow": cow,
     "teapot": teapot,
     "teapot_smooth": teapot_smooth,
+    "glass_teapot": glass_teapot,
     "pumpkin": pumpkin,
     "teddy": teddy,
     "single_sphere": single_sphere,

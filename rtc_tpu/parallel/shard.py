@@ -172,14 +172,27 @@ def _balanced_morton_perm(vsize: int, hsize: int, n_shards: int, tile: int):
     return perm.astype(np.int32), inv
 
 
-def render_sharded(scene: Scene, camera: Camera, cfg: RenderConfig = DEFAULT_CONFIG,
-                   mesh: Mesh | None = None, shard_prims: bool = False):
-    """Render with rays sharded over mesh axis 'rays' (and optionally the
-    triangle table over 'prims'). Returns an (V, H, 3) image.
+def _to_global(mesh: Mesh, spec, x):
+    """Lift a process-local (but globally identical) array to a global
+    jax.Array laid out by (mesh, spec). Every process holds the full value,
+    so the callback can serve any addressable shard — the standard
+    multi-controller input recipe."""
+    sh = jax.sharding.NamedSharding(mesh, spec)
+    xnp = np.asarray(x)
+    return jax.make_array_from_callback(xnp.shape, sh, lambda idx: xnp[idx])
 
-    Ray order: Morton tiles dealt round-robin across the 'rays' axis for
-    load balance (see _balanced_morton_perm); pure permutation, applied
-    outside the sharded jit.
+
+def sharded_colors(scene: Scene, camera: Camera,
+                   cfg: RenderConfig = DEFAULT_CONFIG,
+                   mesh: Mesh | None = None, shard_prims: bool = False):
+    """Shard rays over mesh axis 'rays' (and optionally triangles over
+    'prims') and shade. Returns (colors, inv_perm, n_rays): colors is the
+    (padded R, 3) ray-major jax.Array, still in the sharded traversal order;
+    inv_perm (or None) undoes the Morton/deal permutation.
+
+    Works single- OR multi-process: under multi-controller JAX the inputs
+    are lifted to global arrays via make_array_from_callback, and the caller
+    must allgather colors before indexing (see multihost.render_multihost).
     """
     from .mesh import make_mesh
 
@@ -201,6 +214,7 @@ def render_sharded(scene: Scene, camera: Camera, cfg: RenderConfig = DEFAULT_CON
     )
     n_rays = o.shape[0]
     morton = cfg.ray_order == "morton"
+    inv = None
     if morton:
         tile = min(cfg.ray_tile, max(128, n_rays // n_ray_shards))
         perm, inv = _balanced_morton_perm(
@@ -215,8 +229,34 @@ def render_sharded(scene: Scene, camera: Camera, cfg: RenderConfig = DEFAULT_CON
         o = jnp.pad(o, ((0, pad), (0, 0)))
         d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
 
-    colors = _render_sharded_rays(scene, o, d, cfg, mesh,
-                                  shard_prims and n_prim_shards > 1)
-    if morton:
+    shard_p = shard_prims and n_prim_shards > 1
+    if jax.process_count() > 1:
+        # multi-controller: every process computed identical full inputs;
+        # lift them onto the global mesh so jit can dispatch SPMD
+        pspecs = scene_pspecs(scene, shard_p)
+        scene = dataclasses.replace(scene, **{
+            f.name: _to_global(mesh, getattr(pspecs, f.name),
+                               getattr(scene, f.name))
+            for f in dataclasses.fields(Scene) if f.name != "static"
+        })
+        o = _to_global(mesh, P("rays"), o)
+        d = _to_global(mesh, P("rays"), d)
+
+    colors = _render_sharded_rays(scene, o, d, cfg, mesh, shard_p)
+    return colors, inv, n_rays
+
+
+def render_sharded(scene: Scene, camera: Camera, cfg: RenderConfig = DEFAULT_CONFIG,
+                   mesh: Mesh | None = None, shard_prims: bool = False):
+    """Render with rays sharded over mesh axis 'rays' (and optionally the
+    triangle table over 'prims'). Returns an (V, H, 3) image. Single-process
+    assembly; for pod slices use multihost.render_multihost.
+
+    Ray order: Morton tiles dealt round-robin across the 'rays' axis for
+    load balance (see _balanced_morton_perm); pure permutation, applied
+    outside the sharded jit.
+    """
+    colors, inv, n_rays = sharded_colors(scene, camera, cfg, mesh, shard_prims)
+    if inv is not None:
         colors = colors[jnp.asarray(inv)]
     return colors[:n_rays].reshape(camera.vsize, camera.hsize, 3)

@@ -291,6 +291,68 @@ def _min_by_t_over_axis(axis_name: str, t, obj, n):
     return t_min, obj_g, n_g
 
 
+class Intersections(NamedTuple):
+    """Per-ray sorted intersection lists — the vectorized equivalent of the
+    reference's World::intersect -> Intersections public API
+    (src/world.rs:43-54, src/intersection.rs:86): fixed-capacity (R, K)
+    buffers sorted ascending by t, INCLUDING negative ts (the reference's Vec
+    keeps them; only hit() filters, src/intersection.rs:79-84)."""
+
+    t: jnp.ndarray      # (R, K)
+    obj: jnp.ndarray    # (R, K) i32 object ids (clamped where invalid)
+    valid: jnp.ndarray  # (R, K) bool
+
+
+def intersect_all(scene: Scene, o, d, cfg: RenderConfig,
+                  k: int | None = None) -> Intersections:
+    """World::intersect for a wavefront: every object's candidate ts, merged
+    and sorted ascending per ray (reference: src/world.rs:43-54).
+
+    k bounds the returned list length (K = min(k, total candidate slots));
+    k=None returns the full list. This is the conformance/utility API — the
+    render path uses the fused closest_hit/is_shadowed kernels instead, which
+    never materialize the list. Sweeps are brute-force (analytic candidates +
+    the full triangle table), so cost is O(R * (4N + T)).
+    """
+    st = scene.static
+    R = o.shape[0]
+    parts_t, parts_v, parts_obj = [], [], []
+    if st.n_prims:
+        t, v = prim_candidates(scene, o, d, cfg.epsilon)      # (R, N, 4)
+        parts_t.append(t.reshape(R, -1))
+        parts_v.append(v.reshape(R, -1))
+        parts_obj.append(jnp.repeat(scene.prim_obj, 4))
+    if st.n_tris:
+        t, v = tri_candidates(scene, o, d, cfg.epsilon)       # (R, T)
+        parts_t.append(t)
+        parts_v.append(v)
+        parts_obj.append(scene.tri_obj)
+    if not parts_t:
+        z = jnp.zeros((R, 0))
+        return Intersections(t=z, obj=z.astype(jnp.int32), valid=z.astype(bool))
+    t = jnp.concatenate(parts_t, axis=1)
+    v = jnp.concatenate(parts_v, axis=1)
+    cols = jnp.concatenate(parts_obj)
+    n_cand = t.shape[1]
+    kk = n_cand if k is None else min(k, n_cand)
+    tt = jnp.where(v, t, BIG)
+    # K smallest ts: top_k of -t returns t ascending; ties resolve to the
+    # lower candidate column, matching the reference's stable sort over the
+    # object-insertion order (src/world.rs:51)
+    neg, idx = _jax.lax.top_k(-tt, kk)
+    return Intersections(
+        t=-neg, obj=cols[idx], valid=(-neg) < BIG * 0.5)
+
+
+def hit_index(xs: Intersections):
+    """Intersection::hit — per-ray index (into the K axis) of the lowest
+    non-negative t, or -1 when every intersection is negative/invalid
+    (reference: src/intersection.rs:79-84)."""
+    ok = xs.valid & (xs.t >= 0.0)
+    first = jnp.argmax(ok, axis=1).astype(jnp.int32)  # lists are t-sorted
+    return jnp.where(jnp.any(ok, axis=1), first, -1)
+
+
 def normal_at(scene: Scene, hit: HitInfo, world_point, eps) -> jnp.ndarray:
     """World-space unit normal at the hit (reference: src/shape.rs:466-519)."""
     st = scene.static
@@ -420,31 +482,55 @@ def refraction_indices(scene: Scene, o, d, hit: HitInfo, cfg: RenderConfig,
     reference's containers-stack walk over the sorted intersection list
     (src/intersection.rs:29-62).
 
-    For each prim in the static refractive set, count its crossings strictly
-    before t_hit: odd parity == "the ray is currently inside". The stack's
-    `last()` is the inside prim whose most recent crossing is latest.
+    For each container in the static refractive set — analytic prims AND
+    closed triangle meshes — count its crossings strictly before t_hit: odd
+    parity == "the ray is currently inside". The stack's `last()` is the
+    inside container whose most recent crossing is latest. Mesh crossings are
+    counted by one batched Möller-Trumbore sweep over the compact per-object
+    container slabs (Scene.refr_tri_*), so a closed transparent mesh acts as
+    an n1/n2 container exactly like a glass sphere.
 
-    Deviation (documented in ARCHITECTURE.md): only prims with ior != 1 or
+    Deviation (documented in ARCHITECTURE.md): only objects with ior != 1 or
     transparency > 0 participate as containers. Objects with ior == 1.0
     contribute the default 1.0 in the reference, so values agree except in
     the degenerate shading-from-inside-an-opaque-object case.
     """
     ids = scene.static.refr_prim_ids
+    mesh_ids = scene.static.refr_mesh_obj_ids
     R = o.shape[0]
     one = jnp.ones((R,), o.dtype)
     if n2_enter is None:
         n2_enter = scene.mat_ior[hit.obj] if scene.static.n_objects else one
-    if not ids:
+    if not ids and not mesh_ids:
         return one, n2_enter
 
-    t, v = prim_candidates(scene, o, d, cfg.epsilon, ids=ids)  # (R, K, 4)
-    before = v & (t < hit.t[:, None, None])
-    cnt = jnp.sum(before, axis=2)                               # (R, K)
-    last = jnp.max(jnp.where(before, t, -BIG), axis=2)          # (R, K)
-    inside = (cnt % 2) == 1
+    cnts, lasts, objs = [], [], []
+    if ids:
+        t, v = prim_candidates(scene, o, d, cfg.epsilon, ids=ids)  # (R, Ka, 4)
+        before = v & (t < hit.t[:, None, None])
+        cnts.append(jnp.sum(before, axis=2))
+        lasts.append(jnp.max(jnp.where(before, t, -BIG), axis=2))
+        objs.append(jnp.asarray(ids, dtype=jnp.int32))  # prim id == obj id
+    if mesh_ids:
+        t, v, _, _ = intersect.triangle(
+            o[:, None, None, :], d[:, None, None, :],
+            scene.refr_tri_p1[None], scene.refr_tri_e1[None],
+            scene.refr_tri_e2[None], cfg.epsilon)       # (R, Km, Tm)
+        # exclude the hit triangle from its own parity count: this sweep
+        # recomputes t, which can land an ulp on either side of the kernel's
+        # t_hit and flip the parity of the very crossing being shaded
+        hit_gid = jnp.where(hit.is_tri, hit.tri, -2)
+        not_self = scene.refr_tri_gid[None] != hit_gid[:, None, None]
+        before = v & not_self & (t < hit.t[:, None, None])
+        cnts.append(jnp.sum(before, axis=2))
+        lasts.append(jnp.max(jnp.where(before, t, -BIG), axis=2))
+        objs.append(jnp.asarray(mesh_ids, dtype=jnp.int32))
 
-    ids_arr = jnp.asarray(ids, dtype=jnp.int32)
-    sub_ior = scene.mat_ior[ids_arr]                            # (K,)
+    cnt = jnp.concatenate(cnts, axis=1)                 # (R, K)
+    last = jnp.concatenate(lasts, axis=1)               # (R, K)
+    cont_obj = jnp.concatenate(objs)                    # (K,)
+    inside = (cnt % 2) == 1
+    sub_ior = scene.mat_ior[cont_obj]                   # (K,)
 
     def stack_top(mask):
         score = jnp.where(mask, last, -BIG)
@@ -454,7 +540,7 @@ def refraction_indices(scene: Scene, o, d, hit: HitInfo, cfg: RenderConfig,
 
     n1 = stack_top(inside)
 
-    is_self = (~hit.is_tri)[:, None] & (ids_arr[None, :] == hit.prim[:, None])
+    is_self = cont_obj[None, :] == hit.obj[:, None]
     self_inside = jnp.any(inside & is_self, axis=1)
     n2_exit = stack_top(inside & ~is_self)
     n2 = jnp.where(self_inside, n2_exit, n2_enter)

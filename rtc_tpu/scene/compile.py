@@ -53,6 +53,10 @@ class SceneStatic(NamedTuple):
     cluster_size: int = 0     # triangles per cluster (tris padded to C*L)
     any_smooth: bool = False  # any mesh carries per-corner (smooth) normals
     n_super: int = 0          # superclusters (groups of SUPER_WIDTH clusters)
+    # mesh/triangle objects that act as refractive containers (ior != 1 or
+    # transparency > 0); their triangle slabs live in Scene.refr_tri_* for
+    # the n1/n2 parity walk
+    refr_mesh_obj_ids: Tuple[int, ...] = ()
 
 
 @dataclasses.dataclass
@@ -102,6 +106,18 @@ class Scene:
     # hierarchy needs no bounds checks
     cluster_aabb: jnp.ndarray     # (C, 6): min xyz, max xyz
     super_aabb: jnp.ndarray       # (S, 6): union of SUPER_WIDTH clusters
+
+    # refractive-mesh container slabs ((0,0,3)/(0,0) when the scene has no
+    # transparent meshes): a compact copy of each refractive mesh object's
+    # triangles so the n1/n2 crossing-parity walk can count per-object
+    # crossings — the shape-agnostic equivalent of the reference's containers
+    # walk (src/intersection.rs:29-62). refr_tri_gid carries the global
+    # triangle-table row of each entry (-1 padding) so the integrator can
+    # exclude the hit triangle itself from its own parity count.
+    refr_tri_p1: jnp.ndarray      # (Km, Tm, 3)
+    refr_tri_e1: jnp.ndarray      # (Km, Tm, 3)
+    refr_tri_e2: jnp.ndarray      # (Km, Tm, 3)
+    refr_tri_gid: jnp.ndarray     # (Km, Tm) i32
 
     # the single point light (reference: src/light.rs:5-8)
     light_pos: jnp.ndarray        # (3,)
@@ -360,11 +376,42 @@ def compile_scene(world: World, dtype=jnp.float32, cluster_size: int = 128) -> S
         if s.material.transparency > 0.0 or s.material.refractive_index != 1.0
     )
 
+    # refractive mesh containers: compact per-object triangle slabs (rows are
+    # gathered AFTER Morton clustering so refr_tri_gid indexes the final
+    # triangle table)
+    refr_mesh_ids = tuple(
+        int(n_prims + li)
+        for li, s in enumerate(tri_leaves)
+        if s.material.transparency > 0.0 or s.material.refractive_index != 1.0
+    )
+    if refr_mesh_ids and n_tris:
+        # padding rows have zero edges; a real triangle always has a nonzero
+        # edge (degenerate ones would be det-guard rejected anyway)
+        real = (np.abs(tri_e1).sum(axis=1) > 0) | (np.abs(tri_e2).sum(axis=1) > 0)
+        rows = [np.where((tri_obj == oid) & real)[0] for oid in refr_mesh_ids]
+        t_max = max((len(r) for r in rows), default=0)
+        t_max = max(-(-t_max // 8) * 8, 8)
+        km = len(rows)
+        refr_tri_p1 = np.zeros((km, t_max, 3))
+        refr_tri_e1 = np.zeros((km, t_max, 3))
+        refr_tri_e2 = np.zeros((km, t_max, 3))
+        refr_tri_gid = np.full((km, t_max), -1, dtype=np.int32)
+        for ki, r in enumerate(rows):
+            refr_tri_p1[ki, : len(r)] = tri_p1[r]
+            refr_tri_e1[ki, : len(r)] = tri_e1[r]
+            refr_tri_e2[ki, : len(r)] = tri_e2[r]
+            refr_tri_gid[ki, : len(r)] = r
+    else:
+        refr_mesh_ids = ()
+        refr_tri_p1 = refr_tri_e1 = refr_tri_e2 = np.zeros((0, 0, 3))
+        refr_tri_gid = np.zeros((0, 0), dtype=np.int32)
+
     static = SceneStatic(
         n_prims=n_prims,
         n_tris=n_tris,
         n_objects=n_objects,
         refr_prim_ids=refr_ids,
+        refr_mesh_obj_ids=refr_mesh_ids,
         any_reflective=any(o.material.reflective > 0.0 for o in objects),
         any_refractive=any(o.material.transparency > 0.0 for o in objects),
         any_pattern=any(o.material.pattern is not None for o in objects),
@@ -404,6 +451,10 @@ def compile_scene(world: World, dtype=jnp.float32, cluster_size: int = 128) -> S
         pat_a=f(pat_a),
         pat_b=f(pat_b),
         pat_inv=f(pat_inv),
+        refr_tri_p1=f(refr_tri_p1),
+        refr_tri_e1=f(refr_tri_e1),
+        refr_tri_e2=f(refr_tri_e2),
+        refr_tri_gid=i32(refr_tri_gid),
         light_pos=f(np.asarray(world.light.position, dtype=np.float64)),
         light_intensity=f(np.asarray(world.light.intensity, dtype=np.float64)),
         static=static,

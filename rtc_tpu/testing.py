@@ -33,27 +33,11 @@ def intersect_shape(shape: Shape, origin, direction, dtype=jnp.float64):
     cfg = RenderConfig(dtype=str(np.dtype(dtype)))
     o = jnp.asarray([origin], dtype=dtype)
     d = jnp.asarray([direction], dtype=dtype)
-    ts, objs = [], []
-    if scene.static.n_prims:
-        t, v = integrator.prim_candidates(scene, o, d, cfg.epsilon)
-        t, v = np.asarray(t)[0], np.asarray(v)[0]  # (N, 4)
-        for n in range(t.shape[0]):
-            for s in range(4):
-                if v[n, s]:
-                    ts.append(t[n, s])
-                    objs.append(int(np.asarray(scene.prim_obj)[n]))
-    if scene.static.n_tris:
-        t, v = integrator.tri_candidates(scene, o, d, cfg.epsilon)
-        t, v = np.asarray(t)[0], np.asarray(v)[0]
-        for i in range(t.shape[0]):
-            if v[i]:
-                ts.append(t[i])
-                objs.append(int(np.asarray(scene.tri_obj)[i]))
-    order = np.argsort(np.asarray(ts, dtype=np.float64), kind="stable") if ts else []
-    return (
-        np.asarray([ts[i] for i in order], dtype=np.float64),
-        np.asarray([objs[i] for i in order], dtype=np.int64),
-    )
+    xs = integrator.intersect_all(scene, o, d, cfg)
+    t = np.asarray(xs.t[0], dtype=np.float64)
+    v = np.asarray(xs.valid[0])
+    obj = np.asarray(xs.obj[0], dtype=np.int64)
+    return t[v], obj[v]
 
 
 def normal_at(shape: Shape, point, dtype=jnp.float64):

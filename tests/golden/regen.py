@@ -38,6 +38,7 @@ SPECS = {
     "hexagon": 32,
     "teapot": 24,
     "teapot_smooth": 24,
+    "glass_teapot": (24, 8),  # depth 8: refraction chain reaches the floor
     # flagship bench/driver scenes: every scene the benchmarks run is pinned
     "cow": 32,
     "pumpkin": 24,
@@ -48,12 +49,19 @@ SPECS = {
 HERE = os.path.dirname(__file__)
 
 
+def _spec(v):
+    """SPECS value: width or (width, max_depth)."""
+    return v if isinstance(v, tuple) else (v, 5)
+
+
 def main():
-    for name, width in sorted(SPECS.items()):
+    for name in sorted(SPECS):
+        width, depth = _spec(SPECS[name])
         world, cam = REGISTRY[name](width)
         scene = compile_scene(world, dtype=np.float64)
         img = np.asarray(
-            render(scene, cam, RenderConfig(dtype="float64", ray_tile=512)))
+            render(scene, cam,
+                   RenderConfig(dtype="float64", ray_tile=512, max_depth=depth)))
         path = os.path.join(HERE, f"{name}.npy")
         old = np.load(path) if os.path.exists(path) else None
         np.save(path, img)

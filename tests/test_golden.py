@@ -19,6 +19,11 @@ from rtc_tpu.utils.config import RenderConfig
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 
+
+def _spec(v):
+    """SPECS value: width or (width, max_depth)."""
+    return v if isinstance(v, tuple) else (v, 5)
+
 SPECS = {
     "default_world": 24,
     "three_spheres": 32,
@@ -27,6 +32,7 @@ SPECS = {
     "hexagon": 32,
     "teapot": 24,
     "teapot_smooth": 24,
+    "glass_teapot": (24, 8),  # depth 8: refraction chain reaches the floor
     # flagship bench/driver scenes: every scene the benchmarks run is pinned
     "cow": 32,
     "pumpkin": 24,
@@ -39,9 +45,11 @@ SPECS = {
 def test_golden(name):
     path = os.path.join(GOLDEN, f"{name}.npy")
     golden = np.load(path)
-    world, cam = REGISTRY[name](SPECS[name])
+    width, depth = _spec(SPECS[name])
+    world, cam = REGISTRY[name](width)
     scene = compile_scene(world, dtype=np.float64)
-    img = np.asarray(render(scene, cam, RenderConfig(dtype="float64", ray_tile=512)))
+    img = np.asarray(render(
+        scene, cam, RenderConfig(dtype="float64", ray_tile=512, max_depth=depth)))
     np.testing.assert_allclose(img, golden, atol=1e-9, rtol=0)
 
 
@@ -74,6 +82,7 @@ F32_BUDGET = {
     "hexagon": (0.95, 16),   # sub-pixel silhouettes: whole hit/miss flips
     "teapot": (0.99, 2),
     "teapot_smooth": (0.99, 2),
+    "glass_teapot": (0.99, 0),
     "cow": (0.98, 2),
     "pumpkin": (0.98, 2),
     "teddy": (0.98, 2),
@@ -88,9 +97,11 @@ def _quantize(img):
 @pytest.mark.parametrize("name", sorted(F32_SPECS))
 def test_f32_matches_f64_after_quantization(name):
     golden = np.load(os.path.join(GOLDEN, f"{name}.npy"))
-    world, cam = REGISTRY[name](F32_SPECS[name])
+    width, depth = _spec(F32_SPECS[name])
+    world, cam = REGISTRY[name](width)
     scene = compile_scene(world, dtype=np.float32)
-    img32 = np.asarray(render(scene, cam, RenderConfig(dtype="float32", ray_tile=512)))
+    img32 = np.asarray(render(
+        scene, cam, RenderConfig(dtype="float32", ray_tile=512, max_depth=depth)))
     q_equal = np.all(_quantize(golden) == _quantize(img32), axis=2)
     match_frac = float(q_equal.mean())
     flips = int((np.abs(golden - img32).max(axis=2) > 0.15).sum())

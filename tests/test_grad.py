@@ -1,12 +1,16 @@
 """Differentiable rendering: autodiff vs finite differences (BASELINE.json
 'pixel-grad allclose vs finite-diff')."""
 
+import math
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
 from rtc_tpu.diff import render_grad as RG
 from rtc_tpu.models.scenes import REGISTRY
+from rtc_tpu.render import integrator
 from rtc_tpu.render.camera import camera_rays
 from rtc_tpu.scene.compile import compile_scene
 from rtc_tpu.utils.config import RenderConfig
@@ -84,3 +88,68 @@ def test_optimization_reduces_loss(setup):
         if l0 is None:
             l0 = float(loss)
     assert float(loss) < l0
+
+
+# --- camera-pose gradients ----------------------------------------------------
+
+
+def test_camera_pose_gradients_match_finite_diff():
+    """Gradients of the render w.r.t. camera pose (from/to/up/fov) vs central
+    finite differences — ray-gen is traceable end-to-end."""
+    from rtc_tpu.diff import render_grad as RG
+    from rtc_tpu.scene.world import default_world
+
+    scene = compile_scene(default_world(), dtype=jnp.float64)
+    cfg = RenderConfig(dtype="float64")
+    hsize = vsize = 8
+    cam = RG.camera_params([0.0, 1.5, -5.0], [0.0, 1.0, 0.0],
+                           [0.0, 1.0, 0.0], math.pi / 3)
+    # target: render from a slightly different pose
+    cam_t = RG.camera_params([0.1, 1.4, -5.0], [0.0, 1.0, 0.0],
+                             [0.0, 1.0, 0.0], math.pi / 3 + 0.05)
+    o_t, d_t = RG.camera_pose_rays(cam_t, hsize, vsize, jnp.float64)
+    target = integrator.color_at(scene, o_t, d_t, cfg)
+
+    loss = lambda c: RG.camera_render_loss(c, scene, target, cfg, hsize, vsize)
+    grads = jax.grad(loss)(cam)
+
+    eps = 1e-6
+    for name, index in (("cam_from", (0,)), ("cam_from", (2,)),
+                        ("cam_to", (1,)), ("cam_fov", ())):
+        def loss_at(v):
+            c = dict(cam)
+            c[name] = c[name].at[index].set(v) if index else jnp.asarray(v, jnp.float64)
+            return float(loss(c))
+
+        v0 = float(cam[name][index]) if index else float(cam[name])
+        fd = (loss_at(v0 + eps) - loss_at(v0 - eps)) / (2 * eps)
+        ad = float(grads[name][index]) if index else float(grads[name])
+        assert abs(ad - fd) < 1e-4 * max(1.0, abs(fd)), (
+            f"{name}[{index}]: autodiff {ad} vs finite-diff {fd}")
+        assert abs(ad) > 1e-12, f"{name}[{index}] gradient is dead"
+
+
+def test_camera_pose_recovery_step():
+    """A few SGD steps on the camera pose reduce the pose-mismatch loss."""
+    from rtc_tpu.diff import render_grad as RG
+    from rtc_tpu.scene.world import default_world
+
+    scene = compile_scene(default_world(), dtype=jnp.float64)
+    cfg = RenderConfig(dtype="float64")
+    hsize = vsize = 8
+    true_cam = RG.camera_params([0.0, 1.5, -5.0], [0.0, 1.0, 0.0],
+                                [0.0, 1.0, 0.0], math.pi / 3)
+    o_t, d_t = RG.camera_pose_rays(true_cam, hsize, vsize, jnp.float64)
+    target = integrator.color_at(scene, o_t, d_t, cfg)
+
+    cam = RG.camera_params([0.15, 1.45, -5.0], [0.0, 1.0, 0.0],
+                           [0.0, 1.0, 0.0], math.pi / 3)
+    loss = lambda c: RG.camera_render_loss(c, scene, target, cfg, hsize, vsize)
+    vg = jax.jit(jax.value_and_grad(loss))
+    l0, _ = vg(cam)
+    lr = 1.0
+    for _ in range(60):
+        l, g = vg(cam)
+        cam = jax.tree_util.tree_map(lambda p, gr: p - lr * gr, cam, g)
+    l1, _ = vg(cam)
+    assert float(l1) < 0.5 * float(l0), (float(l0), float(l1))

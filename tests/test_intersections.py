@@ -145,3 +145,102 @@ def test_the_schlick_approximation_with_small_angle_and_n2_gt_n1():
     scene = _glass_scene()
     c = testing.comps_at(scene, [0, 0.99, -2], [0, 0, 1], 1.8589)
     assert_almost_eq(_schlick(c), 0.48873)
+
+
+# --- public intersection-list API (reference: src/world.rs:43-54) ------------
+#
+# World::intersect -> sorted Intersections + hit() as PUBLIC, reusable API.
+
+
+def test_intersect_all_world_sorted():
+    """intersecting_a_world_with_a_ray (src/world.rs:178-189): the default
+    world's two concentric spheres give ts [4, 4.5, 5.5, 6]."""
+    from rtc_tpu import intersect_all
+    from rtc_tpu.scene.world import default_world
+    from rtc_tpu.scene.compile import compile_scene
+    from rtc_tpu.utils.config import RenderConfig
+
+    scene = compile_scene(default_world(), dtype=jnp.float64)
+    cfg = RenderConfig(dtype="float64")
+    o = jnp.asarray([[0.0, 0.0, -5.0]], jnp.float64)
+    d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float64)
+    xs = intersect_all(scene, o, d, cfg)
+    v = np.asarray(xs.valid[0])
+    assert int(v.sum()) == 4
+    assert_almost_eq(np.asarray(xs.t[0])[v], [4.0, 4.5, 5.5, 6.0])
+    # ts sorted ascending over the whole buffer prefix
+    assert list(np.asarray(xs.obj[0])[v]) == [0, 1, 1, 0]
+
+
+def test_intersect_all_k_truncates():
+    from rtc_tpu import intersect_all
+    from rtc_tpu.scene.world import default_world
+    from rtc_tpu.scene.compile import compile_scene
+    from rtc_tpu.utils.config import RenderConfig
+
+    scene = compile_scene(default_world(), dtype=jnp.float64)
+    cfg = RenderConfig(dtype="float64")
+    o = jnp.asarray([[0.0, 0.0, -5.0]], jnp.float64)
+    d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float64)
+    xs = intersect_all(scene, o, d, cfg, k=2)
+    assert xs.t.shape == (1, 2)
+    assert_almost_eq(np.asarray(xs.t[0]), [4.0, 4.5])
+
+
+def test_intersect_all_merges_prims_and_triangles():
+    from rtc_tpu import intersect_all
+    from rtc_tpu.scene.compile import compile_scene
+    from rtc_tpu.scene.shapes import sphere, triangle
+    from rtc_tpu.scene.world import World
+    from rtc_tpu.utils.config import RenderConfig
+    from rtc_tpu.ops import transforms as X
+
+    tri = triangle([-1, -1, 1], [1, -1, 1], [0, 1, 1])  # plane z=1
+    s = sphere(transform=X.translation(0, 0, 4))
+    w = World(objects=[s, tri])
+    scene = compile_scene(w, dtype=jnp.float64)
+    cfg = RenderConfig(dtype="float64")
+    o = jnp.asarray([[0.0, 0.0, -2.0]], jnp.float64)
+    d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float64)
+    xs = intersect_all(scene, o, d, cfg)
+    v = np.asarray(xs.valid[0])
+    ts = np.asarray(xs.t[0])[v]
+    objs = np.asarray(xs.obj[0])[v]
+    assert_almost_eq(ts, [3.0, 5.0, 7.0])   # triangle at z=1, sphere 3..5
+    assert list(objs) == [1, 0, 0]          # tri is object 1 (after the prim)
+
+
+def test_hit_index_semantics():
+    """The four hit() cases (src/intersection.rs:158-200) through the public
+    API: all-positive, mixed, all-negative, lowest-nonnegative."""
+    from rtc_tpu.render.integrator import Intersections, hit_index
+
+    t = jnp.asarray([
+        [1.0, 2.0],     # all positive -> index 0
+        [-1.0, 1.0],    # mixed -> index 1
+        [-2.0, -1.0],   # all negative -> -1
+        [-3.0, 2.0],    # lowest nonnegative -> index 1
+    ])
+    v = jnp.ones_like(t, dtype=bool)
+    xs = Intersections(t=t, obj=jnp.zeros_like(t, dtype=jnp.int32), valid=v)
+    assert list(np.asarray(hit_index(xs))) == [0, 1, -1, 1]
+
+
+def test_intersect_all_keeps_negative_ts():
+    """A ray originating inside the sphere keeps the negative t in the list
+    (src/shape.rs:727-737: ts [-1, 1])."""
+    from rtc_tpu import intersect_all
+    from rtc_tpu.render.integrator import hit_index
+    from rtc_tpu.scene.compile import compile_scene
+    from rtc_tpu.scene.shapes import sphere
+    from rtc_tpu.scene.world import World
+    from rtc_tpu.utils.config import RenderConfig
+
+    scene = compile_scene(World(objects=[sphere()]), dtype=jnp.float64)
+    cfg = RenderConfig(dtype="float64")
+    o = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float64)
+    d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float64)
+    xs = intersect_all(scene, o, d, cfg)
+    v = np.asarray(xs.valid[0])
+    assert_almost_eq(np.asarray(xs.t[0])[v], [-1.0, 1.0])
+    assert int(np.asarray(hit_index(xs))[0]) == 1
