@@ -336,8 +336,13 @@ def _tile_cluster_schedule(o, d, aabb, rt: int, max_t=None):
     if max_t is not None:
         tile_ov = tile_ov & (tmin < mt_hi[:, None])
     entry = jnp.where(tile_ov, jnp.maximum(tmin, 0.0), big)
-    # front-to-back order by counting rank + one-hot scatter: C is tiny
-    # (dozens), so the (nt, C, C) comparison is far cheaper than lax.sort
+    return _rank_schedule(entry, tile_ov)
+
+
+def _rank_schedule(entry, tile_ov):
+    """Front-to-back order by counting rank + one-hot scatter: C is tiny
+    (dozens), so the (nt, C, C) comparison is far cheaper than lax.sort."""
+    C = entry.shape[1]
     iota = jnp.arange(C, dtype=jnp.int32)
     before = (entry[:, :, None] < entry[:, None, :]) | (
         (entry[:, :, None] == entry[:, None, :]) & (iota[:, None] < iota[None, :]))
@@ -347,6 +352,67 @@ def _tile_cluster_schedule(o, d, aabb, rt: int, max_t=None):
     tmin_sorted = jnp.sum(jnp.where(onehot, entry[:, :, None], 0.0), axis=1)
     count = jnp.sum(tile_ov, axis=1, dtype=jnp.int32)[:, None]   # (nt, 1)
     return order, count, tmin_sorted
+
+
+def _tile_cluster_schedule_exact(o, d, aabb, rt: int, max_t=None):
+    """EXACT per-tile traversal schedule: every ray slab-tests every cluster
+    (fused elementwise, chunked so temporaries stay ~16 MB), then reduces to
+    per-tile overlap/entry. The interval schedule (_tile_cluster_schedule) is
+    cheaper but conservative: a tile whose direction interval straddles zero
+    on two axes schedules EVERY cluster with entry 0 — no cull, no
+    front-to-back early exit. Secondary wavefronts (reflections, refraction
+    chains) have exactly that shape, so they use this variant: per-ray tests
+    keep the cull sharp and the ordering real regardless of coherence.
+    """
+    big = jnp.float32(BIG)
+    R = o.shape[0]
+    nt = R // rt
+    C = aabb.shape[0]
+
+    def inv_dir(c):
+        near_zero = jnp.abs(c) < 1e-30
+        return jnp.where(near_zero, jnp.where(c >= 0, big, -big),
+                         1.0 / jnp.where(near_zero, 1.0, c))
+
+    inv = inv_dir(d)                                             # (R, 3)
+    lo = aabb[:, :3]                                             # (C, 3)
+    hi = aabb[:, 3:]
+
+    # chunk the tile axis to bound the (ch, rt, C) temporaries
+    ch = max(1, min(nt, 4_194_304 // max(rt * C, 1)))
+    n_chunks = -(-nt // ch)
+    pad_t = n_chunks * ch - nt
+    o_t = jnp.pad(o.reshape(nt, rt, 3), ((0, pad_t), (0, 0), (0, 0)),
+                  constant_values=BIG)
+    i_t = jnp.pad(inv.reshape(nt, rt, 3), ((0, pad_t), (0, 0), (0, 0)),
+                  constant_values=1.0)
+    if max_t is not None:
+        m_t = jnp.pad(max_t.reshape(nt, rt), ((0, pad_t), (0, 0)),
+                      constant_values=-1.0)
+    else:
+        m_t = jnp.full((nt + pad_t, rt), big)
+
+    def one_chunk(args):
+        o_b, i_b, m_b = args                                     # (ch, rt, 3)
+        tmin = jnp.full(o_b.shape[:2] + (C,), -big)
+        tmax = jnp.full(o_b.shape[:2] + (C,), big)
+        for ax in range(3):
+            t1 = (lo[None, None, :, ax] - o_b[:, :, ax, None]) * i_b[:, :, ax, None]
+            t2 = (hi[None, None, :, ax] - o_b[:, :, ax, None]) * i_b[:, :, ax, None]
+            tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+            tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+        ov = (tmax >= tmin) & (tmax >= 0.0) & (tmin < m_b[:, :, None])
+        entry_r = jnp.where(ov, jnp.maximum(tmin, 0.0), big)
+        return jnp.min(entry_r, axis=1), jnp.any(ov, axis=1)     # (ch, C)
+
+    entry, tile_ov = jax.lax.map(
+        one_chunk,
+        (o_t.reshape(n_chunks, ch, rt, 3), i_t.reshape(n_chunks, ch, rt, 3),
+         m_t.reshape(n_chunks, ch, rt)))
+    entry = entry.reshape(-1, C)[:nt]
+    tile_ov = tile_ov.reshape(-1, C)[:nt]
+    entry = jnp.where(tile_ov, entry, big)
+    return _rank_schedule(entry, tile_ov)
 
 
 def _mt_cluster_mxu(rayf, feat_ref, c, leaf: int, eps: float):
@@ -523,13 +589,14 @@ def _any_hit_blocked(o, d, max_t, p1, e1, e2, aabb, n_blocks: int, leaf: int,
 @functools.partial(
     jax.jit,
     static_argnames=("n_super", "super_width", "leaf", "ray_tile", "eps",
-                     "interpret", "vmem_tri_budget"),
+                     "interpret", "vmem_tri_budget", "exact_schedule"),
 )
 def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
                          super_aabb, n_super: int, leaf: int,
                          super_width: int = 8, ray_tile: int = 128,
                          eps: float = EPSILON, interpret: bool = False,
-                         vmem_tri_budget: int = VMEM_TRI_BUDGET):
+                         vmem_tri_budget: int = VMEM_TRI_BUDGET,
+                         exact_schedule: bool = False):
     """Closest triangle hit with MXU cluster tests and a precomputed
     front-to-back traversal schedule. Same contract as
     mesh_closest_hit_pallas. (super_aabb/n_super/super_width are accepted for
@@ -555,7 +622,9 @@ def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
     feat = _tri_features(tri_p1, tri_e1, tri_e2, leaf)   # (10, 4T)
     rayf = _ray_features(o_p, d_p)                       # (R', 10)
     aabb32 = cluster_aabb.astype(jnp.float32)
-    ids, cnt, tmins = _tile_cluster_schedule(
+    sched_fn = (_tile_cluster_schedule_exact if exact_schedule
+                else _tile_cluster_schedule)
+    ids, cnt, tmins = sched_fn(
         o_p.astype(jnp.float32), d_p.astype(jnp.float32), aabb32, rt)
     C = aabb32.shape[0]
 
@@ -586,13 +655,14 @@ def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
 @functools.partial(
     jax.jit,
     static_argnames=("n_super", "super_width", "leaf", "ray_tile", "eps",
-                     "interpret", "vmem_tri_budget"),
+                     "interpret", "vmem_tri_budget", "exact_schedule"),
 )
 def mesh_any_hit_mxu(o, d, max_t, tri_p1, tri_e1, tri_e2, cluster_aabb,
                      super_aabb, n_super: int, leaf: int,
                      super_width: int = 8, ray_tile: int = 128,
                      eps: float = EPSILON, interpret: bool = False,
-                     vmem_tri_budget: int = VMEM_TRI_BUDGET):
+                     vmem_tri_budget: int = VMEM_TRI_BUDGET,
+                     exact_schedule: bool = False):
     """Occlusion query with MXU cluster tests and a precomputed traversal
     schedule. Same contract as mesh_any_hit_pallas. Oversized meshes stream
     in superblocks (see mesh_closest_hit_mxu)."""
@@ -613,7 +683,9 @@ def mesh_any_hit_mxu(o, d, max_t, tri_p1, tri_e1, tri_e2, cluster_aabb,
     feat = _tri_features(tri_p1, tri_e1, tri_e2, leaf)
     rayf = _ray_features(o_p, d_p)
     aabb32 = cluster_aabb.astype(jnp.float32)
-    ids, cnt, _ = _tile_cluster_schedule(
+    sched_fn = (_tile_cluster_schedule_exact if exact_schedule
+                else _tile_cluster_schedule)
+    ids, cnt, _ = sched_fn(
         o_p.astype(jnp.float32), d_p.astype(jnp.float32), aabb32, rt,
         max_t=m_p.astype(jnp.float32))
     C = aabb32.shape[0]

@@ -44,26 +44,36 @@ class Camera:
         return np.linalg.inv(self.transform)
 
 
-def camera_rays(inv, hsize: int, vsize: int, half_width, half_height, pixel_size,
-                dtype=jnp.float32):
-    """All primary rays, row-major like the reference's y/x loop
-    (src/camera.rs:67-79). inv: (4, 4) camera inverse. Returns (R, 3) x 2.
+def camera_rays_for_pixels(inv, px, py, half_width, half_height, pixel_size,
+                           dtype=jnp.float32):
+    """Primary rays for explicit pixel coordinates px/py ((R,) integer
+    arrays) — ray_for_pixel (src/camera.rs:48-65) batched over any pixel
+    ORDER. Rendering in Morton order generates rays directly in that order
+    (pure elementwise — no runtime permutation gather); per-pixel arithmetic
+    is identical for every ordering, so orders differ only by permutation.
 
     Kept traceable so camera pose can be differentiated through.
     """
     inv = jnp.asarray(inv, dtype=dtype)
-    px = (jnp.arange(hsize, dtype=dtype) + 0.5) * pixel_size
-    py = (jnp.arange(vsize, dtype=dtype) + 0.5) * pixel_size
-    world_x = half_width - px        # +x is to the LEFT (src/camera.rs:53-56)
-    world_y = half_height - py
-    wx, wy = jnp.meshgrid(world_x, world_y, indexing="xy")  # (V, H)
+    wx = half_width - (px.astype(dtype) + 0.5) * pixel_size  # +x is LEFT
+    wy = half_height - (py.astype(dtype) + 0.5) * pixel_size
     pix = jnp.stack(
         [wx, wy, jnp.full_like(wx, -1.0), jnp.ones_like(wx)], axis=-1
     )  # canvas plane z = -1 (src/camera.rs:60)
-    pixel_world = jnp.einsum("ij,vhj->vhi", inv, pix)[..., :3]
+    pixel_world = jnp.einsum("ij,rj->ri", inv, pix)[..., :3]
     origin = (inv @ jnp.array([0.0, 0.0, 0.0, 1.0], dtype))[:3]
     direction = pixel_world - origin
     norm = jnp.sqrt(jnp.sum(direction * direction, axis=-1, keepdims=True))
     direction = direction / jnp.maximum(norm, 1e-30)
     origins = jnp.broadcast_to(origin, direction.shape)
-    return origins.reshape(-1, 3), direction.reshape(-1, 3)
+    return origins, direction
+
+
+def camera_rays(inv, hsize: int, vsize: int, half_width, half_height, pixel_size,
+                dtype=jnp.float32):
+    """All primary rays, row-major like the reference's y/x loop
+    (src/camera.rs:67-79). inv: (4, 4) camera inverse. Returns (R, 3) x 2."""
+    xx = jnp.tile(jnp.arange(hsize, dtype=jnp.int32), vsize)
+    yy = jnp.repeat(jnp.arange(vsize, dtype=jnp.int32), hsize)
+    return camera_rays_for_pixels(inv, xx, yy, half_width, half_height,
+                                  pixel_size, dtype)

@@ -121,7 +121,7 @@ import numpy as _np
 def _kernel_closest(spec, o, d, p1, e1, e2, aabb, sup):
     """Forward-only Pallas search with exact derivatives attached.
 
-    spec: (impl, n_super, leaf, ray_tile, eps) — hashable/static.
+    spec: (impl, n_super, leaf, ray_tile, eps, exact) — hashable/static.
     Primal: the kernel's (t, idx) directly (no recompute). Tangent: a single
     gathered Möller-Trumbore evaluation at the winning triangle (closed-form
     t — implicit-function derivative), linearized by jax.jvp. Under plain
@@ -129,15 +129,20 @@ def _kernel_closest(spec, o, d, p1, e1, e2, aabb, sup):
     nothing; under autodiff gradients are exact w.r.t. rays AND triangle
     vertices while the O(R x T) search stays out of the graph.
     """
-    impl, n_super, leaf, ray_tile, eps = spec
+    impl, n_super, leaf, ray_tile, eps, exact = spec
     from ..ops.pallas.mesh_intersect import (
         mesh_closest_hit_mxu, mesh_closest_hit_pallas)
 
-    fn = mesh_closest_hit_mxu if impl.startswith("mxu") else mesh_closest_hit_pallas
     sg = _jax.lax.stop_gradient
+    kw = {}
+    if impl.startswith("mxu"):
+        fn = mesh_closest_hit_mxu
+        kw["exact_schedule"] = exact
+    else:
+        fn = mesh_closest_hit_pallas
     t, idx = fn(sg(o), sg(d), sg(p1), sg(e1), sg(e2), sg(aabb), sg(sup),
                 n_super=n_super, leaf=leaf, ray_tile=ray_tile, eps=eps,
-                interpret=impl.endswith("_interpret"))
+                interpret=impl.endswith("_interpret"), **kw)
     return t, idx
 
 
@@ -182,7 +187,7 @@ def _resolve_mesh_impl(scene: Scene, cfg: RenderConfig, dtype) -> str:
     return impl
 
 
-def mesh_closest(scene: Scene, o, d, cfg: RenderConfig):
+def mesh_closest(scene: Scene, o, d, cfg: RenderConfig, coherent: bool = True):
     """Closest triangle hit: (t, idx); t == BIG and idx == 0 on miss.
 
     'mxu' runs the matmul-form kernel (Möller-Trumbore factored onto the
@@ -200,8 +205,11 @@ def mesh_closest(scene: Scene, o, d, cfg: RenderConfig):
     impl = _resolve_mesh_impl(scene, cfg, o.dtype)
 
     if impl in _KERNEL_IMPLS:
+        # incoherent (secondary) wavefronts use the exact per-ray schedule:
+        # the interval cull collapses when a tile's direction interval
+        # straddles zero, which is the normal shape of reflection bounces
         spec = (impl, scene.static.n_super, scene.static.cluster_size,
-                min(256, max(128, R)), cfg.epsilon)
+                min(256, max(128, R)), cfg.epsilon, not coherent)
         t, idx = _kernel_closest(
             spec, o, d, scene.tri_p1, scene.tri_e1, scene.tri_e2,
             scene.cluster_aabb, scene.super_aabb)
@@ -217,7 +225,8 @@ def mesh_closest(scene: Scene, o, d, cfg: RenderConfig):
     return t_min, idx
 
 
-def closest_hit(scene: Scene, o, d, cfg: RenderConfig) -> HitInfo:
+def closest_hit(scene: Scene, o, d, cfg: RenderConfig,
+                coherent: bool = True) -> HitInfo:
     """World::intersect + Intersection::hit — global min over t >= 0
     (reference: src/world.rs:43-54, src/intersection.rs:79-84).
 
@@ -242,7 +251,7 @@ def closest_hit(scene: Scene, o, d, cfg: RenderConfig) -> HitInfo:
     tri_obj = jnp.zeros((R,), jnp.int32)
     tri_n = jnp.zeros_like(o)
     if st.n_tris:
-        t_t, idx_t = mesh_closest(scene, o, d, cfg)
+        t_t, idx_t = mesh_closest(scene, o, d, cfg, coherent=coherent)
         tri_obj = scene.tri_obj[idx_t]
         if st.any_smooth:
             # smooth-triangle shading: interpolate per-corner normals with the
@@ -381,7 +390,8 @@ def normal_at(scene: Scene, hit: HitInfo, world_point, eps) -> jnp.ndarray:
     return jnp.where(hit.is_tri[:, None], n_tri, n_p)
 
 
-def is_shadowed(scene: Scene, point, cfg: RenderConfig, live=None):
+def is_shadowed(scene: Scene, point, cfg: RenderConfig, live=None,
+                coherent: bool = True):
     """Shadow ray toward the light (reference: src/world.rs:100-114).
 
     `hit().t < distance` is equivalent to "ANY candidate t in [0, distance)",
@@ -406,6 +416,10 @@ def is_shadowed(scene: Scene, point, cfg: RenderConfig, live=None):
     if impl in _KERNEL_IMPLS:
         shadowed = jnp.zeros(point.shape[:1], bool)
         if st.n_prims:
+            # dead lanes flow through this sweep too: it is a dense (R, N, 4)
+            # vectorized pass, so masked lanes cost the same VPU cycles as a
+            # compacted sweep would plus zero gather/scatter — their
+            # distance == -1 guarantees they report unshadowed
             t, valid = prim_candidates(scene, point, direction, cfg.epsilon)
             shadowed = jnp.any(
                 valid & (t >= 0.0) & (t < distance[:, None, None]), axis=(1, 2))
@@ -413,9 +427,13 @@ def is_shadowed(scene: Scene, point, cfg: RenderConfig, live=None):
             from ..ops.pallas.mesh_intersect import (
                 mesh_any_hit_mxu, mesh_any_hit_pallas)
 
-            fn = (mesh_any_hit_mxu if impl.startswith("mxu")
-                  else mesh_any_hit_pallas)
             sg = jax.lax.stop_gradient
+            kw = {}
+            if impl.startswith("mxu"):
+                fn = mesh_any_hit_mxu
+                kw["exact_schedule"] = not coherent
+            else:
+                fn = mesh_any_hit_pallas
             found = fn(
                 sg(point), sg(direction), sg(distance),
                 sg(scene.tri_p1), sg(scene.tri_e1), sg(scene.tri_e2),
@@ -423,7 +441,7 @@ def is_shadowed(scene: Scene, point, cfg: RenderConfig, live=None):
                 n_super=st.n_super, leaf=st.cluster_size,
                 ray_tile=min(256, max(128, point.shape[0])),
                 eps=cfg.epsilon,
-                interpret=impl.endswith("_interpret"),
+                interpret=impl.endswith("_interpret"), **kw,
             )
             if cfg.prim_axis is not None:
                 # each device saw only its triangle shard: occluded anywhere
@@ -601,8 +619,13 @@ def schlick(cos_eye_normal, n1, n2):
     return jnp.where(tir, 1.0, reflectance)
 
 
-def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None):
-    """Whole-wavefront color (reference: src/world.rs:80-98). o/d: (R, 3)."""
+def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None,
+             coherent: bool = True):
+    """Whole-wavefront color (reference: src/world.rs:80-98). o/d: (R, 3).
+
+    coherent=False marks secondary wavefronts (reflection/refraction
+    children): their kernel sweeps use the exact per-ray traversal schedule
+    instead of the per-tile interval one (see mesh_intersect)."""
     if budget is None:
         budget = cfg.max_depth
     if budget < 1:
@@ -613,7 +636,7 @@ def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None):
     if st.n_objects == 0:
         return jnp.zeros_like(o)
 
-    hit = closest_hit(scene, o, d, cfg)
+    hit = closest_hit(scene, o, d, cfg, coherent=coherent)
     valid = hit.valid
     obj = hit.obj
     rec = object_record(scene, obj)  # one fused gather of all shading data
@@ -640,7 +663,8 @@ def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None):
         # of shadow, src/material.rs:57-67) — drop back-facing lanes from the
         # shadow sweep
         facing = dot(normalize(scene.light_pos - point), normalv) >= 0.0
-        shadowed = is_shadowed(scene, over, cfg, live=valid & facing)
+        shadowed = is_shadowed(scene, over, cfg, live=valid & facing,
+                               coherent=coherent)
     else:
         shadowed = jnp.zeros_like(valid)
     surface = lighting.lighting(
@@ -676,7 +700,7 @@ def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None):
             scene,
             jnp.where(live_r, over, far),
             jnp.where(live_r, comps.reflectv, park_d),
-            cfg, budget - 3,
+            cfg, budget - 3, coherent=False,
         ) * reflective[:, None]
 
     refr = jnp.zeros_like(o)
@@ -695,7 +719,7 @@ def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None):
                 scene,
                 jnp.where(live_t, under, far),
                 jnp.where(live_t, refr_dir, park_d),
-                cfg, budget - 3,
+                cfg, budget - 3, coherent=False,
             )
             * transparency[:, None]
             * jnp.where(tir, 0.0, 1.0)[:, None]

@@ -133,3 +133,81 @@ def test_blocked_streaming_matches_single_call(teapot32):
     h1 = mesh_any_hit_mxu(o, d, mt, *args, **kw)
     h2 = mesh_any_hit_mxu(o, d, mt, *args, vmem_tri_budget=2 * leaf, **kw)
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+
+# --- exact (per-ray) traversal schedule ---------------------------------------
+#
+# Secondary wavefronts use _tile_cluster_schedule_exact: per-ray slab tests
+# reduced per tile instead of conservative interval arithmetic. Same contract,
+# sharper cull — results must be identical to brute force for ANY wavefront.
+
+
+def _incoherent_rays(scene, o, d):
+    """A reflection-shaped wavefront: origins on the mesh surface, directions
+    scattered by the surface normals (exactly what the exact schedule is
+    for)."""
+    cfg = RenderConfig(dtype="float32", mesh_impl="bruteforce")
+    t, i = integrator.mesh_closest(scene, o, d, cfg)
+    valid = np.asarray(t) < BIG / 2
+    t_safe = jnp.where(jnp.asarray(valid), t, 1.0)
+    p = o + d * t_safe[:, None]
+    n = scene.tri_n[i]
+    refl = d - 2.0 * jnp.sum(d * n, axis=1, keepdims=True) * n
+    far = jnp.asarray(1e12, o.dtype)
+    o2 = jnp.where(jnp.asarray(valid)[:, None], p + n * 1e-4, far)
+    d2 = jnp.where(jnp.asarray(valid)[:, None], refl, 0.5773502692)
+    return o2, d2
+
+
+def test_exact_schedule_matches_bruteforce_closest(teapot32):
+    scene, o, d = teapot32
+    o2, d2 = _incoherent_rays(scene, o, d)
+    brute = RenderConfig(dtype="float32", mesh_impl="bruteforce")
+    t_b, i_b = integrator.mesh_closest(scene, o2, d2, brute)
+    mxu = RenderConfig(dtype="float32", mesh_impl="mxu_interpret")
+    t_p, i_p = integrator.mesh_closest(scene, o2, d2, mxu, coherent=False)
+    t_b, t_p = np.asarray(t_b), np.asarray(t_p)
+    hit_b, hit_p = t_b < BIG / 2, t_p < BIG / 2
+    np.testing.assert_array_equal(hit_b, hit_p)
+    # atol EPSILON-scale: grazing re-hits at t ~ 1e-4 differ by matmul-form
+    # vs elementwise MT roundoff
+    np.testing.assert_allclose(t_p[hit_p], t_b[hit_b], rtol=1e-4, atol=1e-5)
+
+
+def test_exact_schedule_matches_interval_on_coherent(teapot32):
+    """On a coherent primary wavefront both schedules must give identical
+    kernel results (the exact one visits a subset, in the same t-order)."""
+    scene, o, d = teapot32
+    mxu = RenderConfig(dtype="float32", mesh_impl="mxu_interpret")
+    t_a, i_a = integrator.mesh_closest(scene, o, d, mxu, coherent=True)
+    t_b, i_b = integrator.mesh_closest(scene, o, d, mxu, coherent=False)
+    np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_b))
+    np.testing.assert_allclose(np.asarray(t_a), np.asarray(t_b), rtol=0, atol=0)
+
+
+def test_exact_schedule_anyhit_matches_bruteforce(teapot32):
+    scene, o, d = teapot32
+    o2, d2 = _incoherent_rays(scene, o, d)
+    # compare LIVE lanes only: parked origins (1e12) are dropped by the
+    # kernel's maxt=-1 schedule but swept by brute force
+    live = jnp.asarray(np.abs(np.asarray(o2)).max(axis=1) < 1e6)
+    brute = RenderConfig(dtype="float32", mesh_impl="bruteforce")
+    mxu = RenderConfig(dtype="float32", mesh_impl="mxu_interpret")
+    s_b = np.asarray(integrator.is_shadowed(scene, o2, brute, live=live))
+    s_p = np.asarray(integrator.is_shadowed(scene, o2, mxu, live=live,
+                                            coherent=False))
+    lv = np.asarray(live)
+    # epsilon-scale disagreements only at silhouette knife edges
+    assert (s_b != s_p)[lv].mean() < 0.02
+
+
+def test_full_render_with_secondary_exact_schedule():
+    """cow render (reflective mesh -> secondary sweeps take the exact-schedule
+    path) must match brute force end-to-end."""
+    world, cam = REGISTRY["cow"](24)
+    scene = compile_scene(world, dtype=np.float32)
+    img_b = np.asarray(render(scene, cam, RenderConfig(
+        dtype="float32", ray_tile=512, mesh_impl="bruteforce")))
+    img_p = np.asarray(render(scene, cam, RenderConfig(
+        dtype="float32", ray_tile=512, mesh_impl="mxu_interpret")))
+    assert np.abs(img_b - img_p).max() < 2e-3
