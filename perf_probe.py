@@ -62,7 +62,7 @@ def main() -> int:
         jnp.asarray(cam.transform_inverse, dtype), cam.hsize, cam.vsize,
         jnp.asarray(cam.half_width, dtype), jnp.asarray(cam.half_height, dtype),
         jnp.asarray(cam.pixel_size, dtype), dtype)
-    perm, _ = _device_morton_perm(cam.vsize, cam.hsize)
+    perm = _device_morton_perm(cam.vsize, cam.hsize)[0]
     o, d = o[perm], d[perm]
     o = jax.device_put(o)
     d = jax.device_put(d)
@@ -195,9 +195,12 @@ def gather_probe(width=1920):
         float(out)
         return (time.perf_counter() - t0) / iters
 
-    g_tri = timeit(jax.jit(lambda i: jnp.sum(scene.tri_n[i])))
-    g_obj = timeit(jax.jit(lambda i: jnp.sum(scene.tri_obj[i])))
-    g_unperm = timeit(jax.jit(lambda p: jnp.sum(colors[p])))
+    f_tri = jax.jit(lambda i: jnp.sum(scene.tri_n[i]))
+    f_obj = jax.jit(lambda i: jnp.sum(scene.tri_obj[i]))
+    f_unp = jax.jit(lambda p: jnp.sum(colors[p]))
+    g_tri = timeit(lambda: f_tri(idx))
+    g_obj = timeit(lambda: f_obj(idx))
+    g_unperm = timeit(lambda: f_unp(perm))
     # one-hot matmul alternative for the small-table gather
     import json
     print(json.dumps({

@@ -187,7 +187,7 @@ def _resolve_mesh_impl(scene: Scene, cfg: RenderConfig, dtype) -> str:
     return impl
 
 
-def mesh_closest(scene: Scene, o, d, cfg: RenderConfig, coherent: bool = True):
+def mesh_closest(scene: Scene, o, d, cfg: RenderConfig):
     """Closest triangle hit: (t, idx); t == BIG and idx == 0 on miss.
 
     'mxu' runs the matmul-form kernel (Möller-Trumbore factored onto the
@@ -205,11 +205,12 @@ def mesh_closest(scene: Scene, o, d, cfg: RenderConfig, coherent: bool = True):
     impl = _resolve_mesh_impl(scene, cfg, o.dtype)
 
     if impl in _KERNEL_IMPLS:
-        # incoherent (secondary) wavefronts use the exact per-ray schedule:
-        # the interval cull collapses when a tile's direction interval
-        # straddles zero, which is the normal shape of reflection bounces
+        # always the exact per-ray schedule: measured equal to the interval
+        # one on coherent primary rays (32.6 vs 32.7 ms at 1080p) and ~2x
+        # better on shadow/secondary wavefronts, whose origin spread or
+        # zero-straddling direction intervals collapse the interval cull
         spec = (impl, scene.static.n_super, scene.static.cluster_size,
-                min(256, max(128, R)), cfg.epsilon, not coherent)
+                min(256, max(128, R)), cfg.epsilon, True)
         t, idx = _kernel_closest(
             spec, o, d, scene.tri_p1, scene.tri_e1, scene.tri_e2,
             scene.cluster_aabb, scene.super_aabb)
@@ -225,8 +226,7 @@ def mesh_closest(scene: Scene, o, d, cfg: RenderConfig, coherent: bool = True):
     return t_min, idx
 
 
-def closest_hit(scene: Scene, o, d, cfg: RenderConfig,
-                coherent: bool = True) -> HitInfo:
+def closest_hit(scene: Scene, o, d, cfg: RenderConfig) -> HitInfo:
     """World::intersect + Intersection::hit — global min over t >= 0
     (reference: src/world.rs:43-54, src/intersection.rs:79-84).
 
@@ -251,8 +251,13 @@ def closest_hit(scene: Scene, o, d, cfg: RenderConfig,
     tri_obj = jnp.zeros((R,), jnp.int32)
     tri_n = jnp.zeros_like(o)
     if st.n_tris:
-        t_t, idx_t = mesh_closest(scene, o, d, cfg, coherent=coherent)
-        tri_obj = scene.tri_obj[idx_t]
+        t_t, idx_t = mesh_closest(scene, o, d, cfg)
+        if st.single_tri_obj >= 0:
+            # single-mesh scene: skip the (R,)-row gather (~19 ms/sweep at
+            # 1080p on v5 lite) — every triangle shares one object id
+            tri_obj = jnp.full_like(idx_t, st.single_tri_obj)
+        else:
+            tri_obj = scene.tri_obj[idx_t]
         if st.any_smooth:
             # smooth-triangle shading: interpolate per-corner normals with the
             # barycentric u/v at the winner (the feature the reference stubs
@@ -390,8 +395,7 @@ def normal_at(scene: Scene, hit: HitInfo, world_point, eps) -> jnp.ndarray:
     return jnp.where(hit.is_tri[:, None], n_tri, n_p)
 
 
-def is_shadowed(scene: Scene, point, cfg: RenderConfig, live=None,
-                coherent: bool = True):
+def is_shadowed(scene: Scene, point, cfg: RenderConfig, live=None):
     """Shadow ray toward the light (reference: src/world.rs:100-114).
 
     `hit().t < distance` is equivalent to "ANY candidate t in [0, distance)",
@@ -431,7 +435,7 @@ def is_shadowed(scene: Scene, point, cfg: RenderConfig, live=None,
             kw = {}
             if impl.startswith("mxu"):
                 fn = mesh_any_hit_mxu
-                kw["exact_schedule"] = not coherent
+                kw["exact_schedule"] = True
             else:
                 fn = mesh_any_hit_pallas
             found = fn(
@@ -477,7 +481,10 @@ def object_record(scene: Scene, obj):
         scene.mat_transparency[:, None],                        # 27
         scene.mat_ior[:, None],                                 # 28
     ], axis=1)
-    g = tbl[obj]                                                # (R, 29)
+    if scene.static.n_objects == 1:
+        g = jnp.broadcast_to(tbl[0], (obj.shape[0],) + tbl.shape[1:])
+    else:
+        g = tbl[obj]                                            # (R, 29)
     return dict(
         pat_kind=g[:, 0].astype(jnp.int32),
         pat_a=g[:, 1:4],
@@ -619,13 +626,8 @@ def schlick(cos_eye_normal, n1, n2):
     return jnp.where(tir, 1.0, reflectance)
 
 
-def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None,
-             coherent: bool = True):
-    """Whole-wavefront color (reference: src/world.rs:80-98). o/d: (R, 3).
-
-    coherent=False marks secondary wavefronts (reflection/refraction
-    children): their kernel sweeps use the exact per-ray traversal schedule
-    instead of the per-tile interval one (see mesh_intersect)."""
+def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None):
+    """Whole-wavefront color (reference: src/world.rs:80-98). o/d: (R, 3)."""
     if budget is None:
         budget = cfg.max_depth
     if budget < 1:
@@ -636,7 +638,7 @@ def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None,
     if st.n_objects == 0:
         return jnp.zeros_like(o)
 
-    hit = closest_hit(scene, o, d, cfg, coherent=coherent)
+    hit = closest_hit(scene, o, d, cfg)
     valid = hit.valid
     obj = hit.obj
     rec = object_record(scene, obj)  # one fused gather of all shading data
@@ -663,8 +665,7 @@ def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None,
         # of shadow, src/material.rs:57-67) — drop back-facing lanes from the
         # shadow sweep
         facing = dot(normalize(scene.light_pos - point), normalv) >= 0.0
-        shadowed = is_shadowed(scene, over, cfg, live=valid & facing,
-                               coherent=coherent)
+        shadowed = is_shadowed(scene, over, cfg, live=valid & facing)
     else:
         shadowed = jnp.zeros_like(valid)
     surface = lighting.lighting(
@@ -700,7 +701,7 @@ def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None,
             scene,
             jnp.where(live_r, over, far),
             jnp.where(live_r, comps.reflectv, park_d),
-            cfg, budget - 3, coherent=False,
+            cfg, budget - 3,
         ) * reflective[:, None]
 
     refr = jnp.zeros_like(o)
@@ -719,7 +720,7 @@ def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None,
                 scene,
                 jnp.where(live_t, under, far),
                 jnp.where(live_t, refr_dir, park_d),
-                cfg, budget - 3, coherent=False,
+                cfg, budget - 3,
             )
             * transparency[:, None]
             * jnp.where(tir, 0.0, 1.0)[:, None]

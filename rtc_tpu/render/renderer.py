@@ -54,18 +54,28 @@ def _unpermute(colors, inv_perm):
     return colors[inv_perm]
 
 
+BLOCK = 16  # 16x16 = 256 pixels = one kernel ray tile
+
+
 def render(scene: Scene, camera: Camera, cfg: RenderConfig = DEFAULT_CONFIG):
     """Render to an (V, H, 3) image array (device).
 
-    Morton ordering generates rays DIRECTLY in Z-order (elementwise from the
-    precomputed pixel-index constants — no runtime permutation gather; the
-    per-ray arithmetic is identical for every ordering, so Morton remains a
-    pure permutation of the scanline render bit-for-bit). Only the color
-    un-permute is a gather.
+    Coherent ordering: rays are GENERATED directly in tile order (elementwise
+    from precomputed pixel-index constants — per-ray arithmetic is
+    order-independent, so every ordering yields bit-identical pixel values).
+    When the canvas divides into 16x16 blocks, pixels traverse block-major —
+    each 256-ray kernel tile is one compact screen block (same footprint as a
+    Morton tile) and the un-permute is a pure reshape/transpose (no gather,
+    vs ~18 ms for a 1.8M-row gather on v5 lite). Other sizes fall back to
+    Morton order with a gathered un-permute.
     """
     dtype = cfg.jnp_dtype()
     morton = cfg.ray_order == "morton"
-    if morton:
+    blocked = morton and camera.vsize % BLOCK == 0 and camera.hsize % BLOCK == 0
+    if blocked:
+        px, py = _blocked_pixels(camera.vsize, camera.hsize)
+        cfg = dataclasses.replace(cfg, ray_order="scanline")
+    elif morton:
         _, inv_perm, px, py = _device_morton_perm(camera.vsize, camera.hsize)
         # the shading executable is order-independent; normalize the config
         # so both orders share one compilation cache entry
@@ -81,9 +91,36 @@ def render(scene: Scene, camera: Camera, cfg: RenderConfig = DEFAULT_CONFIG):
         px, py,
     )
     colors = _shade_rays(scene, o, d, cfg)
+    if blocked:
+        return _unblock(colors, camera.vsize, camera.hsize)
     if morton:
         colors = _unpermute(colors, inv_perm)
     return colors.reshape(camera.vsize, camera.hsize, 3)
+
+
+@partial(jax.jit, static_argnames=("vsize", "hsize"))
+def _unblock(colors, vsize: int, hsize: int):
+    """Block-major ray order -> row-major image: layout ops only."""
+    vb, hb = vsize // BLOCK, hsize // BLOCK
+    return (colors.reshape(vb, hb, BLOCK, BLOCK, 3)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(vsize, hsize, 3))
+
+
+def _blocked_pixels(vsize: int, hsize: int):
+    """Device-resident block-major pixel coordinates, cached per shape."""
+    key = ("blocked", vsize, hsize)
+    if key not in _PERM_CACHE:
+        import numpy as np
+
+        vb, hb = vsize // BLOCK, hsize // BLOCK
+        iy, ix = np.meshgrid(np.arange(BLOCK), np.arange(BLOCK), indexing="ij")
+        by, bx = np.meshgrid(np.arange(vb), np.arange(hb), indexing="ij")
+        px = (bx[:, :, None, None] * BLOCK + ix[None, None]).ravel()
+        py = (by[:, :, None, None] * BLOCK + iy[None, None]).ravel()
+        _PERM_CACHE[key] = (jnp.asarray(px.astype(np.int32)),
+                            jnp.asarray(py.astype(np.int32)))
+    return _PERM_CACHE[key]
 
 
 _PERM_CACHE: dict = {}

@@ -57,6 +57,10 @@ class SceneStatic(NamedTuple):
     # transparency > 0); their triangle slabs live in Scene.refr_tri_* for
     # the n1/n2 parity walk
     refr_mesh_obj_ids: Tuple[int, ...] = ()
+    # object id shared by EVERY triangle (-1 when there are several triangle
+    # objects): lets the integrator replace the 1.8M-row tri_obj gather
+    # (~19 ms/sweep on v5 lite) with a constant for single-mesh scenes
+    single_tri_obj: int = -1
 
 
 @dataclasses.dataclass
@@ -419,6 +423,7 @@ def compile_scene(world: World, dtype=jnp.float32, cluster_size: int = 128) -> S
         cluster_size=cluster_size if n_clusters else 0,
         any_smooth=bool(any_smooth and n_tris),
         n_super=len(super_aabb),
+        single_tri_obj=(n_prims if len(tri_leaves) == 1 else -1),
     )
 
     f = lambda a: jnp.asarray(a, dtype=dtype)

@@ -165,7 +165,7 @@ def test_exact_schedule_matches_bruteforce_closest(teapot32):
     brute = RenderConfig(dtype="float32", mesh_impl="bruteforce")
     t_b, i_b = integrator.mesh_closest(scene, o2, d2, brute)
     mxu = RenderConfig(dtype="float32", mesh_impl="mxu_interpret")
-    t_p, i_p = integrator.mesh_closest(scene, o2, d2, mxu, coherent=False)
+    t_p, i_p = integrator.mesh_closest(scene, o2, d2, mxu)
     t_b, t_p = np.asarray(t_b), np.asarray(t_p)
     hit_b, hit_p = t_b < BIG / 2, t_p < BIG / 2
     np.testing.assert_array_equal(hit_b, hit_p)
@@ -175,12 +175,22 @@ def test_exact_schedule_matches_bruteforce_closest(teapot32):
 
 
 def test_exact_schedule_matches_interval_on_coherent(teapot32):
-    """On a coherent primary wavefront both schedules must give identical
-    kernel results (the exact one visits a subset, in the same t-order)."""
+    """On a coherent primary wavefront both schedule variants must give
+    identical kernel results (the exact one visits a subset, in the same
+    t-order). The production path always uses the exact variant; the interval
+    one is kept as the reference implementation."""
+    from rtc_tpu.ops.pallas.mesh_intersect import mesh_closest_hit_mxu
+
     scene, o, d = teapot32
-    mxu = RenderConfig(dtype="float32", mesh_impl="mxu_interpret")
-    t_a, i_a = integrator.mesh_closest(scene, o, d, mxu, coherent=True)
-    t_b, i_b = integrator.mesh_closest(scene, o, d, mxu, coherent=False)
+    st = scene.static
+    kw = dict(n_super=st.n_super, leaf=st.cluster_size, ray_tile=256,
+              interpret=True)
+    t_a, i_a = mesh_closest_hit_mxu(
+        o, d, scene.tri_p1, scene.tri_e1, scene.tri_e2, scene.cluster_aabb,
+        scene.super_aabb, exact_schedule=False, **kw)
+    t_b, i_b = mesh_closest_hit_mxu(
+        o, d, scene.tri_p1, scene.tri_e1, scene.tri_e2, scene.cluster_aabb,
+        scene.super_aabb, exact_schedule=True, **kw)
     np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_b))
     np.testing.assert_allclose(np.asarray(t_a), np.asarray(t_b), rtol=0, atol=0)
 
@@ -194,8 +204,7 @@ def test_exact_schedule_anyhit_matches_bruteforce(teapot32):
     brute = RenderConfig(dtype="float32", mesh_impl="bruteforce")
     mxu = RenderConfig(dtype="float32", mesh_impl="mxu_interpret")
     s_b = np.asarray(integrator.is_shadowed(scene, o2, brute, live=live))
-    s_p = np.asarray(integrator.is_shadowed(scene, o2, mxu, live=live,
-                                            coherent=False))
+    s_p = np.asarray(integrator.is_shadowed(scene, o2, mxu, live=live))
     lv = np.asarray(live)
     # epsilon-scale disagreements only at silhouette knife edges
     assert (s_b != s_p)[lv].mean() < 0.02
