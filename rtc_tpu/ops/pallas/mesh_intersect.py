@@ -438,13 +438,23 @@ def _mt_cluster_mxu(rayf, feat_ref, c, leaf: int, eps: float):
     return t, ok
 
 
-def _kernel_mxu(rayf_ref, feat_ref, ids_ref, cnt_ref, tmin_ref,
-                t_ref, idx_ref, *, leaf: int, eps: float):
+def _kernel_mxu(rayf_ref, *refs, leaf: int, eps: float, with_n: bool):
     """Closest hit over the precomputed front-to-back cluster schedule.
 
     Zero wasted iterations: the while_loop visits exactly the clusters some
     ray in the tile overlaps, in entry order, and exits as soon as every
-    ray's best hit precedes the next cluster's conservative entry t."""
+    ray's best hit precedes the next cluster's conservative entry t.
+
+    with_n=True additionally selects the winning triangle's payload (its
+    unit world normal, nrm_ref rows) IN-KERNEL via the winner one-hot — an
+    XLA-side (R,)-row gather costs ~5 ns/row on v5 lite (~10 ms/sweep at
+    1080p), while the cluster's normal slab is already VMEM-resident here.
+    (Smooth meshes skip this: their shading normal is a 3-corner barycentric
+    blend done at the winner outside the kernel.)"""
+    if with_n:
+        feat_ref, nrm_ref, ids_ref, cnt_ref, tmin_ref, t_ref, idx_ref, n_ref = refs
+    else:
+        feat_ref, ids_ref, cnt_ref, tmin_ref, t_ref, idx_ref = refs
     rayf = rayf_ref[:, :]                        # (RT, 10)
     big = jnp.float32(BIG)
     rt = rayf.shape[0]
@@ -453,7 +463,7 @@ def _kernel_mxu(rayf_ref, feat_ref, ids_ref, cnt_ref, tmin_ref,
     n_sched = tmin_ref.shape[1]
 
     def cond(carry):
-        k, t_best, _ = carry
+        k, t_best = carry[0], carry[1]
         in_range = k < cnt
         # ordered early exit: every ray already has a hit at or before the
         # next cluster's entry point (k clamped: when in_range is False the
@@ -462,7 +472,10 @@ def _kernel_mxu(rayf_ref, feat_ref, ids_ref, cnt_ref, tmin_ref,
         return in_range & more
 
     def body(carry):
-        k, t_best, idx_best = carry
+        if with_n:
+            k, t_best, idx_best, nx, ny, nz = carry
+        else:
+            k, t_best, idx_best = carry
         c = ids_ref[0, k]
         t, ok = _mt_cluster_mxu(rayf, feat_ref, c, leaf, eps)
         tt = jnp.where(ok, t, big)
@@ -471,17 +484,34 @@ def _kernel_mxu(rayf_ref, feat_ref, ids_ref, cnt_ref, tmin_ref,
         local = jnp.min(
             jnp.where(tt <= tmin_c[:, None], lane, jnp.int32(2**30)), axis=1)
         better = tmin_c < t_best
+        if with_n:
+            onehot = lane == local[:, None]      # (RT, L)
+            s = pl.ds(pl.multiple_of(c * leaf, leaf), leaf)
+            sel_x = jnp.sum(jnp.where(onehot, nrm_ref[0, s][None, :], 0.0), axis=1)
+            sel_y = jnp.sum(jnp.where(onehot, nrm_ref[1, s][None, :], 0.0), axis=1)
+            sel_z = jnp.sum(jnp.where(onehot, nrm_ref[2, s][None, :], 0.0), axis=1)
+            nx = jnp.where(better, sel_x, nx)
+            ny = jnp.where(better, sel_y, ny)
+            nz = jnp.where(better, sel_z, nz)
         t_best = jnp.where(better, tmin_c, t_best)
         idx_best = jnp.where(
             better, (c * leaf + local).astype(jnp.int32), idx_best)
+        if with_n:
+            return k + 1, t_best, idx_best, nx, ny, nz
         return k + 1, t_best, idx_best
 
-    _, t_best, idx_best = jax.lax.while_loop(
-        cond, body,
-        (jnp.int32(0), jnp.full((rt,), big, jnp.float32),
-         jnp.full((rt,), -1, jnp.int32)))
-    t_ref[0, :] = t_best
-    idx_ref[0, :] = idx_best
+    init = (jnp.int32(0), jnp.full((rt,), big, jnp.float32),
+            jnp.full((rt,), -1, jnp.int32))
+    if with_n:
+        z = jnp.zeros((rt,), jnp.float32)
+        init = init + (z, z, z)
+    out = jax.lax.while_loop(cond, body, init)
+    t_ref[0, :] = out[1]
+    idx_ref[0, :] = out[2]
+    if with_n:
+        n_ref[0, :] = out[3]
+        n_ref[1, :] = out[4]
+        n_ref[2, :] = out[5]
 
 
 def _anyhit_kernel_mxu(rayf_ref, maxt_ref, feat_ref, ids_ref, cnt_ref,
@@ -524,7 +554,7 @@ def _blocked(tri_p1, leaf: int, budget: int):
     return -(-n_c // per_block)
 
 
-def _block_tables(p1, e1, e2, aabb, n_blocks: int, leaf: int):
+def _block_tables(p1, e1, e2, aabb, n_blocks: int, leaf: int, nrm=None):
     """Split the triangle/cluster tables into n_blocks equal superblocks,
     padding with empty clusters (lo > hi: never scheduled) and degenerate
     triangles (zero edges: det-guard rejects)."""
@@ -539,40 +569,51 @@ def _block_tables(p1, e1, e2, aabb, n_blocks: int, leaf: int):
         p1 = jnp.concatenate([p1, z])
         e1 = jnp.concatenate([e1, z])
         e2 = jnp.concatenate([e2, z])
+        if nrm is not None:
+            nrm = jnp.concatenate([nrm, z])
     tb = per_block * leaf
+    nb = None if nrm is None else nrm.reshape(n_blocks, tb, 3)
     return (p1.reshape(n_blocks, tb, 3), e1.reshape(n_blocks, tb, 3),
             e2.reshape(n_blocks, tb, 3), aabb.reshape(n_blocks, per_block, 6),
-            per_block)
+            per_block, nb)
 
 
 def _closest_hit_blocked(o, d, p1, e1, e2, aabb, n_blocks: int, leaf: int,
-                         ray_tile: int, eps: float, interpret: bool):
+                         ray_tile: int, eps: float, interpret: bool,
+                         tri_n=None):
     """HBM-streaming path: lax.map over cluster superblocks (each block's
     feature slab fits VMEM), min-by-t combine across blocks."""
-    p1b, e1b, e2b, aabbb, per_block = _block_tables(p1, e1, e2, aabb,
-                                                    n_blocks, leaf)
+    p1b, e1b, e2b, aabbb, per_block, nb = _block_tables(
+        p1, e1, e2, aabb, n_blocks, leaf, nrm=tri_n)
     empty_sup = jnp.zeros((0, 6), aabb.dtype)
+    with_n = tri_n is not None
 
     def one(block):
-        bp1, be1, be2, bab = block
+        bp1, be1, be2, bab = block[:4]
         return mesh_closest_hit_mxu(
             o, d, bp1, be1, be2, bab, empty_sup, n_super=0, leaf=leaf,
             ray_tile=ray_tile, eps=eps, interpret=interpret,
-            vmem_tri_budget=per_block * leaf)
+            vmem_tri_budget=per_block * leaf,
+            tri_n=block[4] if with_n else None)
 
-    ts, idxs = jax.lax.map(one, (p1b, e1b, e2b, aabbb))     # (B, R) each
+    blocks = (p1b, e1b, e2b, aabbb) + ((nb,) if with_n else ())
+    out = jax.lax.map(one, blocks)                          # (B, R) each
+    ts, idxs = out[0], out[1]
     offs = (jnp.arange(n_blocks, dtype=jnp.int32) * (per_block * leaf))[:, None]
     idx_g = jnp.where(idxs >= 0, idxs + offs, -1)
     best = jnp.argmin(ts, axis=0)                           # miss rows are BIG
     t = jnp.take_along_axis(ts, best[None, :], axis=0)[0]
     idx = jnp.take_along_axis(idx_g, best[None, :], axis=0)[0]
+    if with_n:
+        n = jnp.take_along_axis(out[2], best[None, :, None], axis=0)[0]
+        return t, idx, n
     return t, idx
 
 
 def _any_hit_blocked(o, d, max_t, p1, e1, e2, aabb, n_blocks: int, leaf: int,
                      ray_tile: int, eps: float, interpret: bool):
-    p1b, e1b, e2b, aabbb, per_block = _block_tables(p1, e1, e2, aabb,
-                                                    n_blocks, leaf)
+    p1b, e1b, e2b, aabbb, per_block, _ = _block_tables(p1, e1, e2, aabb,
+                                                       n_blocks, leaf)
     empty_sup = jnp.zeros((0, 6), aabb.dtype)
 
     def one(block):
@@ -596,11 +637,15 @@ def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
                          super_width: int = 8, ray_tile: int = 128,
                          eps: float = EPSILON, interpret: bool = False,
                          vmem_tri_budget: int = VMEM_TRI_BUDGET,
-                         exact_schedule: bool = False):
+                         exact_schedule: bool = False, tri_n=None):
     """Closest triangle hit with MXU cluster tests and a precomputed
     front-to-back traversal schedule. Same contract as
     mesh_closest_hit_pallas. (super_aabb/n_super/super_width are accepted for
     signature parity; the schedule subsumes the hierarchy levels.)
+
+    With tri_n (T, 3) provided, the winner's row is selected in-kernel and a
+    third output n (R, 3) is returned (zeros on miss) — eliminating the
+    XLA-side normal gather from the shading path.
 
     Meshes whose feature slab exceeds the VMEM budget stream through the
     kernel in cluster superblocks (lax.map over block-sliced tables) with an
@@ -611,7 +656,7 @@ def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
     if n_blocks > 1:
         return _closest_hit_blocked(
             o, d, tri_p1, tri_e1, tri_e2, cluster_aabb, n_blocks, leaf,
-            ray_tile, eps, interpret)
+            ray_tile, eps, interpret, tri_n=tri_n)
     R = o.shape[0]
     rt = min(ray_tile, max(R, 128))
     pad = (-R) % rt
@@ -627,28 +672,47 @@ def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
     ids, cnt, tmins = sched_fn(
         o_p.astype(jnp.float32), d_p.astype(jnp.float32), aabb32, rt)
     C = aabb32.shape[0]
+    with_n = tri_n is not None
 
-    kernel = functools.partial(_kernel_mxu, leaf=leaf, eps=eps)
-    t, idx = pl.pallas_call(
+    kernel = functools.partial(_kernel_mxu, leaf=leaf, eps=eps, with_n=with_n)
+    feat_spec = [pl.BlockSpec(feat.shape, lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)]
+    args = [rayf, feat]
+    if with_n:
+        nrm = tri_n.astype(jnp.float32).T                # (3, T)
+        feat_spec.append(pl.BlockSpec(nrm.shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        args.append(nrm)
+    out_specs = [
+        pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, R + pad), jnp.float32),
+        jax.ShapeDtypeStruct((1, R + pad), jnp.int32),
+    ]
+    if with_n:
+        out_specs.append(
+            pl.BlockSpec((3, rt), lambda i: (0, i), memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((3, R + pad), jnp.float32))
+    out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((rt, 10), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(feat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            *feat_spec,
             pl.BlockSpec((None, 1, C), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((None, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((None, 1, C), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, R + pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, R + pad), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
-    )(rayf, feat, ids[:, None, :], cnt[:, None, :], tmins[:, None, :])
+    )(*args, ids[:, None, :], cnt[:, None, :], tmins[:, None, :])
+    t, idx = out[0], out[1]
+    if with_n:
+        return (t[0, :R].astype(o.dtype), idx[0, :R],
+                out[2][:, :R].T.astype(o.dtype))
     return t[0, :R].astype(o.dtype), idx[0, :R]
 
 

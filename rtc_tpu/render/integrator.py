@@ -166,6 +166,46 @@ def _kernel_closest_jvp(spec, primals, tangents):
     return (t, idx), (dt, didx)
 
 
+@functools.partial(_jax.custom_jvp, nondiff_argnums=(0,))
+def _kernel_closest_n(spec, o, d, p1, e1, e2, nrm, aabb, sup):
+    """_kernel_closest variant that also selects the winner's flat normal
+    IN-KERNEL (mxu only; flat meshes — smooth meshes blend corner normals at
+    the winner outside the kernel). The n output's autodiff semantics match
+    the gather nrm[idx] it replaces: tangent dn = dnrm[idx] masked on miss."""
+    impl, n_super, leaf, ray_tile, eps, exact = spec
+    from ..ops.pallas.mesh_intersect import mesh_closest_hit_mxu
+
+    sg = _jax.lax.stop_gradient
+    t, idx, n = mesh_closest_hit_mxu(
+        sg(o), sg(d), sg(p1), sg(e1), sg(e2), sg(aabb), sg(sup),
+        n_super=n_super, leaf=leaf, ray_tile=ray_tile, eps=eps,
+        interpret=impl.endswith("_interpret"), exact_schedule=exact,
+        tri_n=sg(nrm))
+    return t, idx, n
+
+
+@_kernel_closest_n.defjvp
+def _kernel_closest_n_jvp(spec, primals, tangents):
+    o, d, p1, e1, e2, nrm, aabb, sup = primals
+    do, dd, dp1, de1, de2, dnrm, _, _ = tangents
+    t, idx, n = _kernel_closest_n(spec, *primals)
+    eps = spec[4]
+    hit_ok = idx >= 0
+    idx_c = jnp.where(hit_ok, idx, 0)
+
+    def refined(o, d, p1, e1, e2, nrm):
+        t_ref, _, _, _ = intersect.triangle(
+            o, d, p1[idx_c], e1[idx_c], e2[idx_c], eps)
+        return t_ref, nrm[idx_c]
+
+    _, (dt, dn) = _jax.jvp(refined, (o, d, p1, e1, e2, nrm),
+                           (do, dd, dp1, de1, de2, dnrm))
+    dt = jnp.where(hit_ok, dt, 0.0)
+    dn = jnp.where(hit_ok[:, None], dn, 0.0)
+    didx = _np.zeros(idx.shape, dtype=_jax.dtypes.float0)
+    return (t, idx, n), (dt, didx, dn)
+
+
 def _resolve_mesh_impl(scene: Scene, cfg: RenderConfig, dtype) -> str:
     impl = cfg.mesh_impl
     if impl == "auto":
@@ -187,8 +227,12 @@ def _resolve_mesh_impl(scene: Scene, cfg: RenderConfig, dtype) -> str:
     return impl
 
 
-def mesh_closest(scene: Scene, o, d, cfg: RenderConfig):
+def mesh_closest(scene: Scene, o, d, cfg: RenderConfig, want_n: bool = False):
     """Closest triangle hit: (t, idx); t == BIG and idx == 0 on miss.
+
+    want_n=True returns (t, idx, n) where n is the winner's flat world
+    normal selected in-kernel (or None when the active impl can't supply it
+    — the caller then falls back to the gather).
 
     'mxu' runs the matmul-form kernel (Möller-Trumbore factored onto the
     systolic array over a precomputed front-to-back cluster schedule);
@@ -211,19 +255,25 @@ def mesh_closest(scene: Scene, o, d, cfg: RenderConfig):
         # zero-straddling direction intervals collapse the interval cull
         spec = (impl, scene.static.n_super, scene.static.cluster_size,
                 min(256, max(128, R)), cfg.epsilon, True)
-        t, idx = _kernel_closest(
-            spec, o, d, scene.tri_p1, scene.tri_e1, scene.tri_e2,
-            scene.cluster_aabb, scene.super_aabb)
+        n = None
+        if want_n and impl.startswith("mxu") and not scene.static.any_smooth:
+            t, idx, n = _kernel_closest_n(
+                spec, o, d, scene.tri_p1, scene.tri_e1, scene.tri_e2,
+                scene.tri_n, scene.cluster_aabb, scene.super_aabb)
+        else:
+            t, idx = _kernel_closest(
+                spec, o, d, scene.tri_p1, scene.tri_e1, scene.tri_e2,
+                scene.cluster_aabb, scene.super_aabb)
         hit_ok = idx >= 0
         idx_c = jnp.where(hit_ok, idx, 0)
         t = jnp.where(hit_ok, t, BIG)
-        return t, idx_c
+        return (t, idx_c, n) if want_n else (t, idx_c)
 
     t, v = tri_candidates(scene, o, d, cfg.epsilon)
     tt = jnp.where(v & (t >= 0.0), t, BIG)
     idx = jnp.argmin(tt, axis=1).astype(jnp.int32)
     t_min = jnp.take_along_axis(tt, idx[:, None], axis=1)[:, 0]
-    return t_min, idx
+    return (t_min, idx, None) if want_n else (t_min, idx)
 
 
 def closest_hit(scene: Scene, o, d, cfg: RenderConfig) -> HitInfo:
@@ -251,14 +301,17 @@ def closest_hit(scene: Scene, o, d, cfg: RenderConfig) -> HitInfo:
     tri_obj = jnp.zeros((R,), jnp.int32)
     tri_n = jnp.zeros_like(o)
     if st.n_tris:
-        t_t, idx_t = mesh_closest(scene, o, d, cfg)
+        t_t, idx_t, n_k = mesh_closest(scene, o, d, cfg, want_n=True)
         if st.single_tri_obj >= 0:
             # single-mesh scene: skip the (R,)-row gather (~19 ms/sweep at
             # 1080p on v5 lite) — every triangle shares one object id
             tri_obj = jnp.full_like(idx_t, st.single_tri_obj)
         else:
             tri_obj = scene.tri_obj[idx_t]
-        if st.any_smooth:
+        if n_k is not None:
+            # flat normal already selected in-kernel: no (R,)-row gather
+            tri_n = n_k
+        elif st.any_smooth:
             # smooth-triangle shading: interpolate per-corner normals with the
             # barycentric u/v at the winner (the feature the reference stubs
             # out at src/intersection.rs:381-386); flat meshes carry the face

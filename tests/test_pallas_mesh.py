@@ -220,3 +220,40 @@ def test_full_render_with_secondary_exact_schedule():
     img_p = np.asarray(render(scene, cam, RenderConfig(
         dtype="float32", ray_tile=512, mesh_impl="mxu_interpret")))
     assert np.abs(img_b - img_p).max() < 2e-3
+
+
+# --- in-kernel winner-normal payload -------------------------------------------
+
+
+def test_in_kernel_normal_matches_gather():
+    """Flat meshes select the winning triangle's world normal inside the MXU
+    kernel (mesh_closest want_n=True); it must equal the gather it replaces,
+    including under superblock streaming."""
+    from rtc_tpu.ops.pallas.mesh_intersect import mesh_closest_hit_mxu
+
+    world, cam = REGISTRY["cow"](32)
+    scene = compile_scene(world, dtype=np.float32)
+    assert not scene.static.any_smooth  # cow is flat-shaded
+    o, d = rays_for(cam)
+
+    cfg = RenderConfig(dtype="float32", mesh_impl="mxu_interpret")
+    t, idx, n_k = integrator.mesh_closest(scene, o, d, cfg, want_n=True)
+    assert n_k is not None
+    hit = np.asarray(t) < BIG / 2
+    n_g = np.asarray(scene.tri_n[idx])
+    np.testing.assert_allclose(np.asarray(n_k)[hit], n_g[hit],
+                               rtol=0, atol=0)
+    # miss rows carry zeros (never shaded: is_tri is False there)
+    assert np.all(np.asarray(n_k)[~hit] == 0.0)
+
+    # streaming path threads the normal payload through the block combine
+    st = scene.static
+    leaf = st.cluster_size
+    t2, i2, n2 = mesh_closest_hit_mxu(
+        o, d, scene.tri_p1, scene.tri_e1, scene.tri_e2, scene.cluster_aabb,
+        scene.super_aabb, n_super=st.n_super, leaf=leaf, interpret=True,
+        vmem_tri_budget=2 * leaf, tri_n=scene.tri_n)
+    keep = np.asarray(i2) >= 0
+    np.testing.assert_allclose(
+        np.asarray(n2)[keep], np.asarray(scene.tri_n[jnp.asarray(i2)])[keep],
+        rtol=0, atol=0)
