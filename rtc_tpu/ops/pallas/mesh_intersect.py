@@ -257,162 +257,43 @@ def _ray_features(o, d):
         [d, jnp.cross(o, d), o, jnp.ones_like(o[:, :1])], axis=1)
 
 
-def _tile_cluster_schedule(o, d, aabb, rt: int, max_t=None):
-    """Per-tile traversal schedule, computed OUTSIDE the kernel in one flat
-    vectorized pass (the kernel's former per-cluster slab-test/any/branch
-    sequence serialized the VLIW pipeline; here XLA runs the same tests at
-    full VPU rate with no branches).
+def _slab_entries(rayf_ref, aabb_ref, maxt=None):
+    """IN-KERNEL per-tile traversal schedule: every ray of the tile
+    slab-tests every cluster ((rt, C) fused VPU ops on VMEM-resident
+    operands — no HBM temporaries, unlike the former XLA-side schedule
+    pass, which cost ~10 ms/sweep at 1080p in (R, C) HBM traffic), then
+    reduces to the tile's conservative per-cluster entry t.
 
-    The test is hierarchical so nothing of size (R, C) ever exists: rays are
-    first reduced to per-tile interval bounds (an origin AABB and a direction
-    AABB — an O(R) reduce), then a conservative interval-arithmetic slab test
-    runs on just (nt, C). A direction interval straddling zero contributes no
-    constraint on that axis (conservative); primary-ray tiles have tight
-    direction cones so the cull stays sharp where it matters.
+    rayf columns: [d (0:3), o x d (3:6), o (6:9), 1]; aabb_ref: (6, C)
+    VMEM as [lo_xyz | hi_xyz] rows. maxt: optional (rt, 1) per-ray bound
+    (occlusion queries cull clusters entirely beyond it).
 
-    Returns (order, count, tmin_sorted):
-      order (nt, C) i32 — cluster ids sorted front-to-back by the tile's
-        conservative entry t (non-overlapping clusters pushed to the end);
-      count (nt, 1) i32 — how many clusters possibly overlap some ray;
-      tmin_sorted (nt, C) f32 — entry t lower bound per scheduled cluster,
-        enabling ordered early exit (all rays' t_best <= next entry -> done).
+    Returns entry (1, C) f32: the earliest conservative entry t of any ray
+    into each cluster, BIG where no ray overlaps. Empty padding clusters
+    (lo > hi) never overlap.
     """
     big = jnp.float32(BIG)
-    R = o.shape[0]
-    nt = R // rt
-    C = aabb.shape[0]
-    # work in (3, nt, rt) orientation so the reduces run over a wide minor
-    # dim instead of the 3-lane one
-    o3 = o.T.reshape(3, nt, rt)
-    d3 = d.T.reshape(3, nt, rt)
-    o_lo = jnp.min(o3, axis=2)                                   # (3, nt)
-    o_hi = jnp.max(o3, axis=2)
-    d_lo = jnp.min(d3, axis=2)
-    d_hi = jnp.max(d3, axis=2)
-    if max_t is not None:
-        mt_hi = jnp.max(max_t.reshape(nt, rt), axis=1)           # (nt,)
-
-    # interval reciprocal: both endpoints of 1/d when d doesn't straddle 0
-    straddle = (d_lo <= 0.0) & (d_hi >= 0.0)                     # (3, nt)
-    safe_lo = jnp.where(jnp.abs(d_lo) < 1e-30, 1.0, d_lo)
-    safe_hi = jnp.where(jnp.abs(d_hi) < 1e-30, 1.0, d_hi)
-    i_a = 1.0 / safe_lo
-    i_b = 1.0 / safe_hi
-    i_lo = jnp.minimum(i_a, i_b)
-    i_hi = jnp.maximum(i_a, i_b)
-
-    # interval of (bound - o): lo/hi over the tile's origin box; everything
-    # below is (3, nt, C) with the cluster dim minor
-    blo = aabb.T[:3, None, :]                                    # (3, 1, C)
-    bhi = aabb.T[3:, None, :]
-    s_lo_lo = blo - o_hi[:, :, None]                             # (3, nt, C)
-    s_lo_hi = blo - o_lo[:, :, None]
-    s_hi_lo = bhi - o_hi[:, :, None]
-    s_hi_hi = bhi - o_lo[:, :, None]
-
-    def imul(a_lo, a_hi, b_lo, b_hi):
-        """Interval product bounds."""
-        p1, p2 = a_lo * b_lo, a_lo * b_hi
-        p3, p4 = a_hi * b_lo, a_hi * b_hi
-        return (jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
-                jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)))
-
-    il = i_lo[:, :, None]
-    ih = i_hi[:, :, None]
-    t_lo_lo, t_lo_hi = imul(s_lo_lo, s_lo_hi, il, ih)            # t at lower bound
-    t_hi_lo, t_hi_hi = imul(s_hi_lo, s_hi_hi, il, ih)            # t at upper bound
-    # per-axis slab interval: [min of entries, max of exits] over the two
-    # bounds (whichever is near/far depends on direction sign — covered by
-    # taking the min/max of both interval hulls)
-    ax_lo = jnp.minimum(t_lo_lo, t_hi_lo)
-    ax_hi = jnp.maximum(t_lo_hi, t_hi_hi)
-    # axes where the direction straddles zero give no constraint
-    st = straddle[:, :, None]
-    ax_lo = jnp.where(st, -big, ax_lo)
-    ax_hi = jnp.where(st, big, ax_hi)
-    tmin = jnp.max(ax_lo, axis=0)                                # (nt, C)
-    tmax = jnp.min(ax_hi, axis=0)
-    tile_ov = (tmax >= tmin) & (tmax >= 0.0)
-    if max_t is not None:
-        tile_ov = tile_ov & (tmin < mt_hi[:, None])
-    entry = jnp.where(tile_ov, jnp.maximum(tmin, 0.0), big)
-    return _rank_schedule(entry, tile_ov)
-
-
-def _rank_schedule(entry, tile_ov):
-    """Front-to-back order by counting rank + one-hot scatter: C is tiny
-    (dozens), so the (nt, C, C) comparison is far cheaper than lax.sort."""
-    C = entry.shape[1]
-    iota = jnp.arange(C, dtype=jnp.int32)
-    before = (entry[:, :, None] < entry[:, None, :]) | (
-        (entry[:, :, None] == entry[:, None, :]) & (iota[:, None] < iota[None, :]))
-    rank = jnp.sum(before, axis=1, dtype=jnp.int32)              # (nt, C)
-    onehot = (rank[:, :, None] == iota[None, None, :])           # src c -> slot
-    order = jnp.sum(onehot * iota[None, :, None], axis=1, dtype=jnp.int32)
-    tmin_sorted = jnp.sum(jnp.where(onehot, entry[:, :, None], 0.0), axis=1)
-    count = jnp.sum(tile_ov, axis=1, dtype=jnp.int32)[:, None]   # (nt, 1)
-    return order, count, tmin_sorted
-
-
-def _tile_cluster_schedule_exact(o, d, aabb, rt: int, max_t=None):
-    """EXACT per-tile traversal schedule: every ray slab-tests every cluster
-    (fused elementwise, chunked so temporaries stay ~16 MB), then reduces to
-    per-tile overlap/entry. The interval schedule (_tile_cluster_schedule) is
-    cheaper but conservative: a tile whose direction interval straddles zero
-    on two axes schedules EVERY cluster with entry 0 — no cull, no
-    front-to-back early exit. Secondary wavefronts (reflections, refraction
-    chains) have exactly that shape, so they use this variant: per-ray tests
-    keep the cull sharp and the ordering real regardless of coherence.
-    """
-    big = jnp.float32(BIG)
-    R = o.shape[0]
-    nt = R // rt
-    C = aabb.shape[0]
-
-    def inv_dir(c):
-        near_zero = jnp.abs(c) < 1e-30
-        return jnp.where(near_zero, jnp.where(c >= 0, big, -big),
-                         1.0 / jnp.where(near_zero, 1.0, c))
-
-    inv = inv_dir(d)                                             # (R, 3)
-    lo = aabb[:, :3]                                             # (C, 3)
-    hi = aabb[:, 3:]
-
-    # chunk the tile axis to bound the (ch, rt, C) temporaries
-    ch = max(1, min(nt, 4_194_304 // max(rt * C, 1)))
-    n_chunks = -(-nt // ch)
-    pad_t = n_chunks * ch - nt
-    o_t = jnp.pad(o.reshape(nt, rt, 3), ((0, pad_t), (0, 0), (0, 0)),
-                  constant_values=BIG)
-    i_t = jnp.pad(inv.reshape(nt, rt, 3), ((0, pad_t), (0, 0), (0, 0)),
-                  constant_values=1.0)
-    if max_t is not None:
-        m_t = jnp.pad(max_t.reshape(nt, rt), ((0, pad_t), (0, 0)),
-                      constant_values=-1.0)
-    else:
-        m_t = jnp.full((nt + pad_t, rt), big)
-
-    def one_chunk(args):
-        o_b, i_b, m_b = args                                     # (ch, rt, 3)
-        tmin = jnp.full(o_b.shape[:2] + (C,), -big)
-        tmax = jnp.full(o_b.shape[:2] + (C,), big)
-        for ax in range(3):
-            t1 = (lo[None, None, :, ax] - o_b[:, :, ax, None]) * i_b[:, :, ax, None]
-            t2 = (hi[None, None, :, ax] - o_b[:, :, ax, None]) * i_b[:, :, ax, None]
-            tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
-            tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
-        ov = (tmax >= tmin) & (tmax >= 0.0) & (tmin < m_b[:, :, None])
-        entry_r = jnp.where(ov, jnp.maximum(tmin, 0.0), big)
-        return jnp.min(entry_r, axis=1), jnp.any(ov, axis=1)     # (ch, C)
-
-    entry, tile_ov = jax.lax.map(
-        one_chunk,
-        (o_t.reshape(n_chunks, ch, rt, 3), i_t.reshape(n_chunks, ch, rt, 3),
-         m_t.reshape(n_chunks, ch, rt)))
-    entry = entry.reshape(-1, C)[:nt]
-    tile_ov = tile_ov.reshape(-1, C)[:nt]
-    entry = jnp.where(tile_ov, entry, big)
-    return _rank_schedule(entry, tile_ov)
+    tmin = None
+    tmax = None
+    for ax in range(3):
+        dax = rayf_ref[:, ax:ax + 1]                  # (rt, 1)
+        oax = rayf_ref[:, 6 + ax:7 + ax]
+        near0 = jnp.abs(dax) < 1e-30
+        inv = jnp.where(near0, jnp.where(dax >= 0, big, -big),
+                        1.0 / jnp.where(near0, 1.0, dax))
+        lo = aabb_ref[ax:ax + 1, :]                   # (1, C)
+        hi = aabb_ref[3 + ax:4 + ax, :]
+        t1 = (lo - oax) * inv                         # (rt, C)
+        t2 = (hi - oax) * inv
+        lo_t = jnp.minimum(t1, t2)
+        hi_t = jnp.maximum(t1, t2)
+        tmin = lo_t if tmin is None else jnp.maximum(tmin, lo_t)
+        tmax = hi_t if tmax is None else jnp.minimum(tmax, hi_t)
+    ov = (tmax >= tmin) & (tmax >= 0.0)
+    if maxt is not None:
+        ov = ov & (tmin < maxt)
+    entry_r = jnp.where(ov, jnp.maximum(tmin, 0.0), big)
+    return jnp.min(entry_r, axis=0, keepdims=True)    # (1, C)
 
 
 def _mt_cluster_mxu(rayf, feat_ref, c, leaf: int, eps: float):
@@ -439,11 +320,16 @@ def _mt_cluster_mxu(rayf, feat_ref, c, leaf: int, eps: float):
 
 
 def _kernel_mxu(rayf_ref, *refs, leaf: int, eps: float, with_n: bool):
-    """Closest hit over the precomputed front-to-back cluster schedule.
+    """Closest hit over an in-kernel front-to-back cluster schedule.
 
-    Zero wasted iterations: the while_loop visits exactly the clusters some
-    ray in the tile overlaps, in entry order, and exits as soon as every
-    ray's best hit precedes the next cluster's conservative entry t.
+    The tile's per-cluster entry ts are computed once up front
+    (_slab_entries); the while_loop then extracts the nearest unvisited
+    cluster each iteration (masked argmin over the (1, C) work vector —
+    a selection sort fused with the traversal, so no sort pass and no
+    schedule tables ever exist). Zero wasted iterations: exactly the
+    clusters some ray overlaps are visited, in entry order, and the loop
+    exits as soon as every ray's best hit precedes the nearest remaining
+    cluster's conservative entry t.
 
     with_n=True additionally selects the winning triangle's payload (its
     unit world normal, nrm_ref rows) IN-KERNEL via the winner one-hot — an
@@ -452,31 +338,32 @@ def _kernel_mxu(rayf_ref, *refs, leaf: int, eps: float, with_n: bool):
     (Smooth meshes skip this: their shading normal is a 3-corner barycentric
     blend done at the winner outside the kernel.)"""
     if with_n:
-        feat_ref, nrm_ref, ids_ref, cnt_ref, tmin_ref, t_ref, idx_ref, n_ref = refs
+        feat_ref, nrm_ref, aabb_ref, t_ref, idx_ref, n_ref = refs
     else:
-        feat_ref, ids_ref, cnt_ref, tmin_ref, t_ref, idx_ref = refs
+        feat_ref, aabb_ref, t_ref, idx_ref = refs
     rayf = rayf_ref[:, :]                        # (RT, 10)
     big = jnp.float32(BIG)
     rt = rayf.shape[0]
-    cnt = cnt_ref[0, 0]
-
-    n_sched = tmin_ref.shape[1]
+    entry = _slab_entries(rayf_ref, aabb_ref)    # (1, C)
+    C = entry.shape[1]
+    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
 
     def cond(carry):
-        k, t_best = carry[0], carry[1]
-        in_range = k < cnt
+        work, t_best = carry[0], carry[1]
+        m = jnp.min(work)
         # ordered early exit: every ray already has a hit at or before the
-        # next cluster's entry point (k clamped: when in_range is False the
-        # read is discarded but must stay in bounds)
-        more = jnp.any(t_best > tmin_ref[0, jnp.minimum(k, n_sched - 1)])
-        return in_range & more
+        # nearest remaining cluster's entry point
+        return (m < big) & jnp.any(t_best > m)
 
     def body(carry):
         if with_n:
-            k, t_best, idx_best, nx, ny, nz = carry
+            work, t_best, idx_best, nx, ny, nz = carry
         else:
-            k, t_best, idx_best = carry
-        c = ids_ref[0, k]
+            work, t_best, idx_best = carry
+        m = jnp.min(work)
+        # nearest unvisited cluster; ties resolve to the lowest cluster id
+        c = jnp.min(jnp.where(work == m, lanes2, jnp.int32(2**30)))
+        work = jnp.where(lanes2 == c, big, work)
         t, ok = _mt_cluster_mxu(rayf, feat_ref, c, leaf, eps)
         tt = jnp.where(ok, t, big)
         tmin_c = jnp.min(tt, axis=1)
@@ -497,10 +384,10 @@ def _kernel_mxu(rayf_ref, *refs, leaf: int, eps: float, with_n: bool):
         idx_best = jnp.where(
             better, (c * leaf + local).astype(jnp.int32), idx_best)
         if with_n:
-            return k + 1, t_best, idx_best, nx, ny, nz
-        return k + 1, t_best, idx_best
+            return work, t_best, idx_best, nx, ny, nz
+        return work, t_best, idx_best
 
-    init = (jnp.int32(0), jnp.full((rt,), big, jnp.float32),
+    init = (entry, jnp.full((rt,), big, jnp.float32),
             jnp.full((rt,), -1, jnp.int32))
     if with_n:
         z = jnp.zeros((rt,), jnp.float32)
@@ -514,28 +401,34 @@ def _kernel_mxu(rayf_ref, *refs, leaf: int, eps: float, with_n: bool):
         n_ref[2, :] = out[5]
 
 
-def _anyhit_kernel_mxu(rayf_ref, maxt_ref, feat_ref, ids_ref, cnt_ref,
-                       hit_ref, *, leaf: int, eps: float):
-    """Occlusion query over the precomputed cluster schedule; exits as soon
-    as every ray in the tile is occluded."""
+def _anyhit_kernel_mxu(rayf_ref, maxt_ref, feat_ref, aabb_ref, hit_ref, *,
+                       leaf: int, eps: float):
+    """Occlusion query over the in-kernel cluster schedule; exits as soon
+    as every ray in the tile is occluded. Clusters entirely beyond every
+    ray's max_t are never scheduled (per-ray bound in the slab test)."""
     rayf = rayf_ref[:, :]
-    maxt = maxt_ref[0, :]
+    maxt = maxt_ref[:, :]                        # (RT, 1)
+    big = jnp.float32(BIG)
     rt = rayf.shape[0]
-    cnt = cnt_ref[0, 0]
+    entry = _slab_entries(rayf_ref, aabb_ref, maxt=maxt)
+    C = entry.shape[1]
+    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
 
     def cond(carry):
-        k, found = carry
-        return (k < cnt) & jnp.any(found == 0)
+        work, found = carry
+        return (jnp.min(work) < big) & jnp.any(found == 0)
 
     def body(carry):
-        k, found = carry
-        c = ids_ref[0, k]
+        work, found = carry
+        m = jnp.min(work)
+        c = jnp.min(jnp.where(work == m, lanes2, jnp.int32(2**30)))
+        work = jnp.where(lanes2 == c, big, work)
         t, ok = _mt_cluster_mxu(rayf, feat_ref, c, leaf, eps)
-        ok = ok & (t < maxt[:, None])
-        return k + 1, found | jnp.any(ok, axis=1).astype(jnp.int32)
+        ok = ok & (t < maxt)
+        return work, found | jnp.any(ok, axis=1).astype(jnp.int32)
 
     _, found = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.zeros((rt,), jnp.int32)))
+        cond, body, (entry, jnp.zeros((rt,), jnp.int32)))
     hit_ref[0, :] = found
 
 
