@@ -92,8 +92,7 @@ def main() -> int:
                 t, i = mesh_closest_hit_mxu(
                     o2, d2, scene.tri_p1, scene.tri_e1, scene.tri_e2,
                     scene.cluster_aabb, scene.super_aabb,
-                    n_super=st.n_super, leaf=leaf, ray_tile=rt,
-                    exact_schedule=True)
+                    n_super=st.n_super, leaf=leaf, ray_tile=rt)
                 return jnp.sum(t * 0 + i)
 
             tp = timeit(prim)

@@ -9,8 +9,7 @@ targets the real bottleneck:
   closest     one closest-hit kernel sweep over the primary wavefront
   anyhit      one occlusion sweep over the primary hits' shadow rays
   refl_closest one closest-hit sweep over the REFLECTED wavefront
-               (incoherent directions — tests the schedule's cull quality)
-  schedule    the XLA-side traversal-schedule computation alone
+               (incoherent directions — tests the in-kernel schedule's cull)
 
 Usage: python perf_probe.py [width] [--scene=cow]
 """
@@ -136,17 +135,8 @@ def main() -> int:
     res["shade_8192_d1"] = timeit(
         lambda: jnp.sum(RR._shade_rays(scene, o, d, cfg_d1)))
 
-    from rtc_tpu.ops.pallas import mesh_intersect as MI
-
-    @jax.jit
-    def schedule(o, d):
-        ids, cnt, tmins = MI._tile_cluster_schedule(
-            o, d, scene.cluster_aabb.astype(jnp.float32), 256)
-        return jnp.sum(ids) + jnp.sum(cnt) + jnp.sum(tmins)
-
-    res["schedule"] = timeit(lambda: schedule(o, d))
-    res["schedule_refl"] = timeit(lambda: schedule(over, rdir))
-
+    # (the traversal schedule is computed in-kernel now; there is no
+    # XLA-side schedule pass left to time)
     n_pix = cam.hsize * cam.vsize
     print(json.dumps({k: round(v, 4) for k, v in res.items()}))
     print(json.dumps({

@@ -270,11 +270,16 @@ def _slab_entries(rayf_ref, aabb_ref, maxt=None):
 
     Returns entry (1, C) f32: the earliest conservative entry t of any ray
     into each cluster, BIG where no ray overlaps. Empty padding clusters
-    (lo > hi) never overlap.
+    (lo > hi on any axis) are masked out explicitly — per-axis min/max of
+    the slab ts would otherwise make an inverted box test like a normal one.
     """
     big = jnp.float32(BIG)
     tmin = None
     tmax = None
+    empty = None
+    for ax in range(3):
+        e = aabb_ref[ax:ax + 1, :] > aabb_ref[3 + ax:4 + ax, :]   # (1, C)
+        empty = e if empty is None else (empty | e)
     for ax in range(3):
         dax = rayf_ref[:, ax:ax + 1]                  # (rt, 1)
         oax = rayf_ref[:, 6 + ax:7 + ax]
@@ -289,7 +294,7 @@ def _slab_entries(rayf_ref, aabb_ref, maxt=None):
         hi_t = jnp.maximum(t1, t2)
         tmin = lo_t if tmin is None else jnp.maximum(tmin, lo_t)
         tmax = hi_t if tmax is None else jnp.minimum(tmax, hi_t)
-    ov = (tmax >= tmin) & (tmax >= 0.0)
+    ov = (tmax >= tmin) & (tmax >= 0.0) & ~empty
     if maxt is not None:
         ov = ov & (tmin < maxt)
     entry_r = jnp.where(ov, jnp.maximum(tmin, 0.0), big)
@@ -523,16 +528,18 @@ def _any_hit_blocked(o, d, max_t, p1, e1, e2, aabb, n_blocks: int, leaf: int,
 @functools.partial(
     jax.jit,
     static_argnames=("n_super", "super_width", "leaf", "ray_tile", "eps",
-                     "interpret", "vmem_tri_budget", "exact_schedule"),
+                     "interpret", "vmem_tri_budget"),
 )
 def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
                          super_aabb, n_super: int, leaf: int,
                          super_width: int = 8, ray_tile: int = 128,
                          eps: float = EPSILON, interpret: bool = False,
                          vmem_tri_budget: int = VMEM_TRI_BUDGET,
-                         exact_schedule: bool = False, tri_n=None):
-    """Closest triangle hit with MXU cluster tests and a precomputed
-    front-to-back traversal schedule. Same contract as
+                         tri_n=None):
+    """Closest triangle hit with MXU cluster tests and an IN-KERNEL
+    front-to-back traversal schedule (every tile slab-tests the whole (6, C)
+    cluster AABB table in VMEM, then a fused selection-sort while_loop visits
+    overlapped clusters in entry order). Same contract as
     mesh_closest_hit_pallas. (super_aabb/n_super/super_width are accepted for
     signature parity; the schedule subsumes the hierarchy levels.)
 
@@ -559,12 +566,7 @@ def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
 
     feat = _tri_features(tri_p1, tri_e1, tri_e2, leaf)   # (10, 4T)
     rayf = _ray_features(o_p, d_p)                       # (R', 10)
-    aabb32 = cluster_aabb.astype(jnp.float32)
-    sched_fn = (_tile_cluster_schedule_exact if exact_schedule
-                else _tile_cluster_schedule)
-    ids, cnt, tmins = sched_fn(
-        o_p.astype(jnp.float32), d_p.astype(jnp.float32), aabb32, rt)
-    C = aabb32.shape[0]
+    aabb_t = cluster_aabb.astype(jnp.float32).T          # (6, C)
     with_n = tri_n is not None
 
     kernel = functools.partial(_kernel_mxu, leaf=leaf, eps=eps, with_n=with_n)
@@ -594,14 +596,13 @@ def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
         in_specs=[
             pl.BlockSpec((rt, 10), lambda i: (i, 0), memory_space=pltpu.VMEM),
             *feat_spec,
-            pl.BlockSpec((None, 1, C), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 1, C), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(aabb_t.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(*args, ids[:, None, :], cnt[:, None, :], tmins[:, None, :])
+    )(*args, aabb_t)
     t, idx = out[0], out[1]
     if with_n:
         return (t[0, :R].astype(o.dtype), idx[0, :R],
@@ -612,17 +613,17 @@ def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
 @functools.partial(
     jax.jit,
     static_argnames=("n_super", "super_width", "leaf", "ray_tile", "eps",
-                     "interpret", "vmem_tri_budget", "exact_schedule"),
+                     "interpret", "vmem_tri_budget"),
 )
 def mesh_any_hit_mxu(o, d, max_t, tri_p1, tri_e1, tri_e2, cluster_aabb,
                      super_aabb, n_super: int, leaf: int,
                      super_width: int = 8, ray_tile: int = 128,
                      eps: float = EPSILON, interpret: bool = False,
-                     vmem_tri_budget: int = VMEM_TRI_BUDGET,
-                     exact_schedule: bool = False):
-    """Occlusion query with MXU cluster tests and a precomputed traversal
-    schedule. Same contract as mesh_any_hit_pallas. Oversized meshes stream
-    in superblocks (see mesh_closest_hit_mxu)."""
+                     vmem_tri_budget: int = VMEM_TRI_BUDGET):
+    """Occlusion query with MXU cluster tests and the same in-kernel
+    traversal schedule as mesh_closest_hit_mxu (clusters beyond every ray's
+    max_t are never scheduled). Same contract as mesh_any_hit_pallas.
+    Oversized meshes stream in superblocks (see mesh_closest_hit_mxu)."""
     del super_aabb, n_super, super_width
     n_blocks = _blocked(tri_p1, leaf, vmem_tri_budget)
     if n_blocks > 1:
@@ -639,13 +640,7 @@ def mesh_any_hit_mxu(o, d, max_t, tri_p1, tri_e1, tri_e2, cluster_aabb,
 
     feat = _tri_features(tri_p1, tri_e1, tri_e2, leaf)
     rayf = _ray_features(o_p, d_p)
-    aabb32 = cluster_aabb.astype(jnp.float32)
-    sched_fn = (_tile_cluster_schedule_exact if exact_schedule
-                else _tile_cluster_schedule)
-    ids, cnt, _ = sched_fn(
-        o_p.astype(jnp.float32), d_p.astype(jnp.float32), aabb32, rt,
-        max_t=m_p.astype(jnp.float32))
-    C = aabb32.shape[0]
+    aabb_t = cluster_aabb.astype(jnp.float32).T          # (6, C)
 
     kernel = functools.partial(_anyhit_kernel_mxu, leaf=leaf, eps=eps)
     (hit,) = pl.pallas_call(
@@ -653,15 +648,15 @@ def mesh_any_hit_mxu(o, d, max_t, tri_p1, tri_e1, tri_e2, cluster_aabb,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((rt, 10), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(feat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, C), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(aabb_t.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((1, R + pad), jnp.int32)],
         interpret=interpret,
-    )(rayf, m_p.astype(jnp.float32)[None, :], feat, ids[:, None, :], cnt[:, None, :])
+    )(rayf, m_p.astype(jnp.float32)[:, None], feat, aabb_t)
     return hit[0, :R] != 0
 
 

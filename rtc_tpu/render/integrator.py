@@ -121,7 +121,7 @@ import numpy as _np
 def _kernel_closest(spec, o, d, p1, e1, e2, aabb, sup):
     """Forward-only Pallas search with exact derivatives attached.
 
-    spec: (impl, n_super, leaf, ray_tile, eps, exact) — hashable/static.
+    spec: (impl, n_super, leaf, ray_tile, eps) — hashable/static.
     Primal: the kernel's (t, idx) directly (no recompute). Tangent: a single
     gathered Möller-Trumbore evaluation at the winning triangle (closed-form
     t — implicit-function derivative), linearized by jax.jvp. Under plain
@@ -129,20 +129,15 @@ def _kernel_closest(spec, o, d, p1, e1, e2, aabb, sup):
     nothing; under autodiff gradients are exact w.r.t. rays AND triangle
     vertices while the O(R x T) search stays out of the graph.
     """
-    impl, n_super, leaf, ray_tile, eps, exact = spec
+    impl, n_super, leaf, ray_tile, eps = spec
     from ..ops.pallas.mesh_intersect import (
         mesh_closest_hit_mxu, mesh_closest_hit_pallas)
 
     sg = _jax.lax.stop_gradient
-    kw = {}
-    if impl.startswith("mxu"):
-        fn = mesh_closest_hit_mxu
-        kw["exact_schedule"] = exact
-    else:
-        fn = mesh_closest_hit_pallas
+    fn = mesh_closest_hit_mxu if impl.startswith("mxu") else mesh_closest_hit_pallas
     t, idx = fn(sg(o), sg(d), sg(p1), sg(e1), sg(e2), sg(aabb), sg(sup),
                 n_super=n_super, leaf=leaf, ray_tile=ray_tile, eps=eps,
-                interpret=impl.endswith("_interpret"), **kw)
+                interpret=impl.endswith("_interpret"))
     return t, idx
 
 
@@ -172,15 +167,14 @@ def _kernel_closest_n(spec, o, d, p1, e1, e2, nrm, aabb, sup):
     IN-KERNEL (mxu only; flat meshes — smooth meshes blend corner normals at
     the winner outside the kernel). The n output's autodiff semantics match
     the gather nrm[idx] it replaces: tangent dn = dnrm[idx] masked on miss."""
-    impl, n_super, leaf, ray_tile, eps, exact = spec
+    impl, n_super, leaf, ray_tile, eps = spec
     from ..ops.pallas.mesh_intersect import mesh_closest_hit_mxu
 
     sg = _jax.lax.stop_gradient
     t, idx, n = mesh_closest_hit_mxu(
         sg(o), sg(d), sg(p1), sg(e1), sg(e2), sg(aabb), sg(sup),
         n_super=n_super, leaf=leaf, ray_tile=ray_tile, eps=eps,
-        interpret=impl.endswith("_interpret"), exact_schedule=exact,
-        tri_n=sg(nrm))
+        interpret=impl.endswith("_interpret"), tri_n=sg(nrm))
     return t, idx, n
 
 
@@ -249,12 +243,11 @@ def mesh_closest(scene: Scene, o, d, cfg: RenderConfig, want_n: bool = False):
     impl = _resolve_mesh_impl(scene, cfg, o.dtype)
 
     if impl in _KERNEL_IMPLS:
-        # always the exact per-ray schedule: measured equal to the interval
-        # one on coherent primary rays (32.6 vs 32.7 ms at 1080p) and ~2x
-        # better on shadow/secondary wavefronts, whose origin spread or
-        # zero-straddling direction intervals collapse the interval cull
+        # the traversal schedule is computed IN-KERNEL per tile (exact
+        # per-ray slab tests, front-to-back): no XLA-side schedule pass,
+        # no HBM schedule tables
         spec = (impl, scene.static.n_super, scene.static.cluster_size,
-                min(256, max(128, R)), cfg.epsilon, True)
+                min(256, max(128, R)), cfg.epsilon)
         n = None
         if want_n and impl.startswith("mxu") and not scene.static.any_smooth:
             t, idx, n = _kernel_closest_n(
@@ -485,12 +478,8 @@ def is_shadowed(scene: Scene, point, cfg: RenderConfig, live=None):
                 mesh_any_hit_mxu, mesh_any_hit_pallas)
 
             sg = jax.lax.stop_gradient
-            kw = {}
-            if impl.startswith("mxu"):
-                fn = mesh_any_hit_mxu
-                kw["exact_schedule"] = True
-            else:
-                fn = mesh_any_hit_pallas
+            fn = (mesh_any_hit_mxu if impl.startswith("mxu")
+                  else mesh_any_hit_pallas)
             found = fn(
                 sg(point), sg(direction), sg(distance),
                 sg(scene.tri_p1), sg(scene.tri_e1), sg(scene.tri_e2),
@@ -498,7 +487,7 @@ def is_shadowed(scene: Scene, point, cfg: RenderConfig, live=None):
                 n_super=st.n_super, leaf=st.cluster_size,
                 ray_tile=min(256, max(128, point.shape[0])),
                 eps=cfg.epsilon,
-                interpret=impl.endswith("_interpret"), **kw,
+                interpret=impl.endswith("_interpret"),
             )
             if cfg.prim_axis is not None:
                 # each device saw only its triangle shard: occluded anywhere

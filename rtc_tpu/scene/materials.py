@@ -61,6 +61,11 @@ def test_pattern() -> Pattern:
     return Pattern(pattern_ops.TEST)
 
 
+# factory, not a pytest case (the name mirrors the reference's
+# Pattern::test_pattern and is imported into test modules)
+test_pattern.__test__ = False
+
+
 @dataclasses.dataclass
 class Material:
     """Defaults exactly as the reference (src/material.rs:17-29)."""

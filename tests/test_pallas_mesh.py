@@ -135,11 +135,13 @@ def test_blocked_streaming_matches_single_call(teapot32):
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
 
 
-# --- exact (per-ray) traversal schedule ---------------------------------------
+# --- in-kernel (per-ray exact) traversal schedule -------------------------------
 #
-# Secondary wavefronts use _tile_cluster_schedule_exact: per-ray slab tests
-# reduced per tile instead of conservative interval arithmetic. Same contract,
-# sharper cull — results must be identical to brute force for ANY wavefront.
+# The MXU kernels compute their front-to-back cluster schedule IN-KERNEL per
+# ray tile (_slab_entries + fused selection-sort while_loop): per-ray slab
+# tests, no XLA-side schedule pass, no HBM schedule tables. Results must be
+# identical to brute force for ANY wavefront — incoherent secondary
+# (reflection/shadow-shaped) wavefronts included.
 
 
 def _incoherent_rays(scene, o, d):
@@ -174,23 +176,19 @@ def test_exact_schedule_matches_bruteforce_closest(teapot32):
     np.testing.assert_allclose(t_p[hit_p], t_b[hit_b], rtol=1e-4, atol=1e-5)
 
 
-def test_exact_schedule_matches_interval_on_coherent(teapot32):
-    """On a coherent primary wavefront both schedule variants must give
-    identical kernel results (the exact one visits a subset, in the same
-    t-order). The production path always uses the exact variant; the interval
-    one is kept as the reference implementation."""
+def test_schedule_is_tile_invariant(teapot32):
+    """The in-kernel schedule is a per-tile union of per-ray slab tests, so
+    changing the tiling changes WHICH clusters each tile visits — but the
+    winning (t, idx) per ray must be bitwise identical across tilings."""
     from rtc_tpu.ops.pallas.mesh_intersect import mesh_closest_hit_mxu
 
     scene, o, d = teapot32
     st = scene.static
-    kw = dict(n_super=st.n_super, leaf=st.cluster_size, ray_tile=256,
-              interpret=True)
-    t_a, i_a = mesh_closest_hit_mxu(
-        o, d, scene.tri_p1, scene.tri_e1, scene.tri_e2, scene.cluster_aabb,
-        scene.super_aabb, exact_schedule=False, **kw)
-    t_b, i_b = mesh_closest_hit_mxu(
-        o, d, scene.tri_p1, scene.tri_e1, scene.tri_e2, scene.cluster_aabb,
-        scene.super_aabb, exact_schedule=True, **kw)
+    args = (scene.tri_p1, scene.tri_e1, scene.tri_e2, scene.cluster_aabb,
+            scene.super_aabb)
+    kw = dict(n_super=st.n_super, leaf=st.cluster_size, interpret=True)
+    t_a, i_a = mesh_closest_hit_mxu(o, d, *args, ray_tile=256, **kw)
+    t_b, i_b = mesh_closest_hit_mxu(o, d, *args, ray_tile=128, **kw)
     np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_b))
     np.testing.assert_allclose(np.asarray(t_a), np.asarray(t_b), rtol=0, atol=0)
 
