@@ -353,22 +353,30 @@ def _kernel_mxu(rayf_ref, *refs, leaf: int, eps: float, with_n: bool):
     C = entry.shape[1]
     lanes2 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
 
-    def cond(carry):
-        work, t_best = carry[0], carry[1]
+    def pop(work):
+        """Nearest unvisited cluster; ties resolve to the lowest cluster id.
+        Returns (entry t, cluster id, work with it removed)."""
         m = jnp.min(work)
+        c = jnp.min(jnp.where(work == m, lanes2, jnp.int32(2**30)))
+        return m, c, jnp.where(lanes2 == c, big, work)
+
+    # the loop carries the NEXT selection (m, c) and the running max of
+    # t_best: cond is then pure carried scalars, and the body issues the
+    # next pop's cross-lane reduction chain BEFORE this cluster's MT vector
+    # work so the VLIW pipeline overlaps the two (4 serialized reduces per
+    # visit -> ~1 exposed)
+    def cond(carry):
+        m, t_max = carry[1], carry[3]
         # ordered early exit: every ray already has a hit at or before the
         # nearest remaining cluster's entry point
-        return (m < big) & jnp.any(t_best > m)
+        return (m < big) & (t_max > m)
 
     def body(carry):
         if with_n:
-            work, t_best, idx_best, nx, ny, nz = carry
+            work, m, c, t_max, t_best, idx_best, nx, ny, nz = carry
         else:
-            work, t_best, idx_best = carry
-        m = jnp.min(work)
-        # nearest unvisited cluster; ties resolve to the lowest cluster id
-        c = jnp.min(jnp.where(work == m, lanes2, jnp.int32(2**30)))
-        work = jnp.where(lanes2 == c, big, work)
+            work, m, c, t_max, t_best, idx_best = carry
+        m_next, c_next, work = pop(work)
         t, ok = _mt_cluster_mxu(rayf, feat_ref, c, leaf, eps)
         tt = jnp.where(ok, t, big)
         tmin_c = jnp.min(tt, axis=1)
@@ -386,24 +394,27 @@ def _kernel_mxu(rayf_ref, *refs, leaf: int, eps: float, with_n: bool):
             ny = jnp.where(better, sel_y, ny)
             nz = jnp.where(better, sel_z, nz)
         t_best = jnp.where(better, tmin_c, t_best)
+        t_max = jnp.max(t_best)
         idx_best = jnp.where(
             better, (c * leaf + local).astype(jnp.int32), idx_best)
         if with_n:
-            return work, t_best, idx_best, nx, ny, nz
-        return work, t_best, idx_best
+            return work, m_next, c_next, t_max, t_best, idx_best, nx, ny, nz
+        return work, m_next, c_next, t_max, t_best, idx_best
 
-    init = (entry, jnp.full((rt,), big, jnp.float32),
+    m0, c0, work0 = pop(entry)
+    init = (work0, m0, c0, big,
+            jnp.full((rt,), big, jnp.float32),
             jnp.full((rt,), -1, jnp.int32))
     if with_n:
         z = jnp.zeros((rt,), jnp.float32)
         init = init + (z, z, z)
     out = jax.lax.while_loop(cond, body, init)
-    t_ref[0, :] = out[1]
-    idx_ref[0, :] = out[2]
+    t_ref[0, :] = out[4]
+    idx_ref[0, :] = out[5]
     if with_n:
-        n_ref[0, :] = out[3]
-        n_ref[1, :] = out[4]
-        n_ref[2, :] = out[5]
+        n_ref[0, :] = out[6]
+        n_ref[1, :] = out[7]
+        n_ref[2, :] = out[8]
 
 
 def _anyhit_kernel_mxu(rayf_ref, maxt_ref, feat_ref, aabb_ref, hit_ref, *,
@@ -419,22 +430,31 @@ def _anyhit_kernel_mxu(rayf_ref, maxt_ref, feat_ref, aabb_ref, hit_ref, *,
     C = entry.shape[1]
     lanes2 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
 
-    def cond(carry):
-        work, found = carry
-        return (jnp.min(work) < big) & jnp.any(found == 0)
-
-    def body(carry):
-        work, found = carry
+    def pop(work):
         m = jnp.min(work)
         c = jnp.min(jnp.where(work == m, lanes2, jnp.int32(2**30)))
-        work = jnp.where(lanes2 == c, big, work)
+        return m, c, jnp.where(lanes2 == c, big, work)
+
+    # same carried-selection structure as _kernel_mxu: cond reads carried
+    # scalars only, the next pop's reduces overlap this cluster's MT
+    def cond(carry):
+        m, n_open = carry[1], carry[3]
+        return (m < big) & (n_open > 0)
+
+    def body(carry):
+        work, m, c, n_open, found = carry
+        m_next, c_next, work = pop(work)
         t, ok = _mt_cluster_mxu(rayf, feat_ref, c, leaf, eps)
         ok = ok & (t < maxt)
-        return work, found | jnp.any(ok, axis=1).astype(jnp.int32)
+        found = found | jnp.any(ok, axis=1).astype(jnp.int32)
+        n_open = jnp.sum(1 - found, dtype=jnp.int32)
+        return work, m_next, c_next, n_open, found
 
-    _, found = jax.lax.while_loop(
-        cond, body, (entry, jnp.zeros((rt,), jnp.int32)))
-    hit_ref[0, :] = found
+    m0, c0, work0 = pop(entry)
+    out = jax.lax.while_loop(
+        cond, body,
+        (work0, m0, c0, jnp.int32(rt), jnp.zeros((rt,), jnp.int32)))
+    hit_ref[0, :] = out[4]
 
 
 # triangles whose feature slab ((10, 4T) f32 = 160 B/tri) comfortably fits

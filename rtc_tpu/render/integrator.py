@@ -247,7 +247,7 @@ def mesh_closest(scene: Scene, o, d, cfg: RenderConfig, want_n: bool = False):
         # per-ray slab tests, front-to-back): no XLA-side schedule pass,
         # no HBM schedule tables
         spec = (impl, scene.static.n_super, scene.static.cluster_size,
-                min(256, max(128, R)), cfg.epsilon)
+                min(512, max(128, R)), cfg.epsilon)
         n = None
         if want_n and impl.startswith("mxu") and not scene.static.any_smooth:
             t, idx, n = _kernel_closest_n(
@@ -485,7 +485,7 @@ def is_shadowed(scene: Scene, point, cfg: RenderConfig, live=None):
                 sg(scene.tri_p1), sg(scene.tri_e1), sg(scene.tri_e2),
                 sg(scene.cluster_aabb), sg(scene.super_aabb),
                 n_super=st.n_super, leaf=st.cluster_size,
-                ray_tile=min(256, max(128, point.shape[0])),
+                ray_tile=min(512, max(128, point.shape[0])),
                 eps=cfg.epsilon,
                 interpret=impl.endswith("_interpret"),
             )

@@ -148,27 +148,39 @@ def _spread_bits(v: np.ndarray) -> np.ndarray:
     return v
 
 
+def _kd_order(centroid: np.ndarray, leaf: int) -> np.ndarray:
+    """Balanced k-d ordering: recursively split the triangle set at a
+    leaf-aligned median of the widest centroid axis, so consecutive
+    `leaf`-sized chunks are compact spatial cells. Compared to Morton-order
+    chunking this roughly halves cluster-AABB overlap (fewer clusters
+    visited per ray tile in the kernel's front-to-back traversal)."""
+    out = []
+
+    def rec(idx):
+        n = len(idx)
+        if n <= leaf:
+            out.append(idx)
+            return
+        c = centroid[idx]
+        ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        n_leaves = -(-n // leaf)
+        mid = (n_leaves // 2) * leaf
+        part = np.argpartition(c[:, ax], mid)
+        rec(idx[part[:mid]])
+        rec(idx[part[mid:]])
+
+    rec(np.arange(len(centroid)))
+    return np.concatenate(out)
+
+
 def _cluster_triangles(p1, e1, e2, n, obj, sn, leaf: int):
-    """Morton-order the triangles and chunk into fixed-size clusters with
-    AABBs — the flat, gather-free acceleration structure the Pallas kernel
-    culls against (replacing the reference's per-ray group-AABB rebuild,
-    src/shape.rs:399-425 + bounds.rs)."""
+    """Spatially order the triangles (balanced k-d median split) and chunk
+    into fixed-size clusters with AABBs — the flat, gather-free acceleration
+    structure the Pallas kernel culls against (replacing the reference's
+    per-ray group-AABB rebuild, src/shape.rs:399-425 + bounds.rs)."""
     t = len(p1)
     centroid = p1 + (e1 + e2) / 3.0
-    from .. import native
-
-    order = native.morton_order(centroid) if native.available() else None
-    if order is None:
-        lo = centroid.min(axis=0)
-        ext = centroid.max(axis=0) - lo
-        ext = np.where(ext > 0, ext, 1.0)
-        q = np.clip((centroid - lo) / ext * 1023.0, 0, 1023).astype(np.uint64)
-        code = (
-            _spread_bits(q[:, 0])
-            | (_spread_bits(q[:, 1]) << np.uint64(1))
-            | (_spread_bits(q[:, 2]) << np.uint64(2))
-        )
-        order = np.argsort(code, kind="stable")
+    order = _kd_order(centroid, leaf)
     p1, e1, e2, n, obj = p1[order], e1[order], e2[order], n[order], obj[order]
     if sn is not None:
         sn = sn[:, order]
