@@ -259,6 +259,35 @@ def pumpkin(width: int = 400):
         [8, 6, -8], [0, 3, 0], width, smooth=True)
 
 
+def cow_herd_world(nx: int = 10, nz: int = 9) -> World:
+    """Large-scene stress: an nx x nz grid of cow meshes (default 90 cows =
+    522,360 triangles) — ~10x over the MXU kernel's VMEM triangle budget, so
+    the closest-hit/any-hit sweeps stream cluster superblocks through VMEM
+    (mesh_intersect superblock path), and the scene is the prim-sharding
+    ("scenes too big to replicate") exercise of SURVEY §2."""
+    parser = Parser.from_obj_file(os.path.join(ASSETS, "cow-nonormals.obj"))
+    cows = []
+    for i in range(nx):
+        for j in range(nz):
+            c = parser.obj_to_group()
+            # non-uniform spacing/heading so AABBs don't align degenerately
+            c.set_transform(_mm(
+                X.translation(3.0 * (i - (nx - 1) / 2.0), 3.5,
+                              3.0 * j + 0.7 * ((i * 7 + j * 3) % 5)),
+                X.rotation_y(0.6 * ((i * 5 + j) % 7)),
+                X.scaling(0.5, 0.5, 0.5)))
+            c.set_material(Material(
+                color=(0.9, 0.85 - 0.04 * (j % 3), 0.8 - 0.05 * (i % 4)),
+                ambient=0.1, diffuse=0.8, specular=0.3, shininess=50.0))
+            cows.append(c)
+    return World(objects=cows, light=PointLight((0.0, 30.0, -20.0),
+                                                (1.0, 1.0, 0.9)))
+
+
+def cow_herd(width: int = 400):
+    return cow_herd_world(), _cam(width, [0, 14, -24], [0, 3, 10])
+
+
 def teddy(width: int = 400):
     """teddy.obj with smooth shading."""
     return _obj_scene(
@@ -346,6 +375,7 @@ REGISTRY: Dict[str, Callable[[int], Tuple[World, Camera]]] = {
     "glass_teapot": glass_teapot,
     "pumpkin": pumpkin,
     "teddy": teddy,
+    "cow_herd": cow_herd,
     "single_sphere": single_sphere,
     "three_spheres": three_spheres,
     "glass_spheres": glass_spheres,

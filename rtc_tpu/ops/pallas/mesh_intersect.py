@@ -257,7 +257,7 @@ def _ray_features(o, d):
         [d, jnp.cross(o, d), o, jnp.ones_like(o[:, :1])], axis=1)
 
 
-def _slab_entries(rayf_ref, aabb_ref, maxt=None):
+def _slab_entries(rayf_ref, aabb_ref, maxt=None, signed=False):
     """IN-KERNEL per-tile traversal schedule: every ray of the tile
     slab-tests every cluster ((rt, C) fused VPU ops on VMEM-resident
     operands — no HBM temporaries, unlike the former XLA-side schedule
@@ -266,7 +266,9 @@ def _slab_entries(rayf_ref, aabb_ref, maxt=None):
 
     rayf columns: [d (0:3), o x d (3:6), o (6:9), 1]; aabb_ref: (6, C)
     VMEM as [lo_xyz | hi_xyz] rows. maxt: optional (rt, 1) per-ray bound
-    (occlusion queries cull clusters entirely beyond it).
+    (occlusion queries cull clusters entirely beyond it). signed=True keeps
+    clusters entirely BEHIND the origin and negative entry ts (crossing
+    censuses count t < 0 intersections too).
 
     Returns entry (1, C) f32: the earliest conservative entry t of any ray
     into each cluster, BIG where no ray overlaps. Empty padding clusters
@@ -294,15 +296,21 @@ def _slab_entries(rayf_ref, aabb_ref, maxt=None):
         hi_t = jnp.maximum(t1, t2)
         tmin = lo_t if tmin is None else jnp.maximum(tmin, lo_t)
         tmax = hi_t if tmax is None else jnp.minimum(tmax, hi_t)
-    ov = (tmax >= tmin) & (tmax >= 0.0) & ~empty
+    ov = (tmax >= tmin) & ~empty
+    if not signed:
+        ov = ov & (tmax >= 0.0)
     if maxt is not None:
         ov = ov & (tmin < maxt)
-    entry_r = jnp.where(ov, jnp.maximum(tmin, 0.0), big)
+    entry_r = jnp.where(ov, tmin if signed else jnp.maximum(tmin, 0.0), big)
     return jnp.min(entry_r, axis=0, keepdims=True)    # (1, C)
 
 
-def _mt_cluster_mxu(rayf, feat_ref, c, leaf: int, eps: float):
-    """One cluster's Möller-Trumbore on the MXU. Returns (t, ok): (RT, L)."""
+def _mt_cluster_mxu(rayf, feat_ref, c, leaf: int, eps: float,
+                    with_uv: bool = False):
+    """One cluster's Möller-Trumbore on the MXU. Returns (t, ok) (RT, L)
+    each, plus (u, v) when with_uv (the barycentric coordinates — the
+    smooth-triangle payload the reference stubs out,
+    src/intersection.rs:381-386)."""
     s = pl.ds(c * (4 * leaf), 4 * leaf)
     w = jax.lax.dot_general(
         rayf, feat_ref[:, s],
@@ -321,10 +329,13 @@ def _mt_cluster_mxu(rayf, feat_ref, c, leaf: int, eps: float):
     t = f * eq
     ok = (det_ok & (u >= 0.0) & (u <= 1.0)
           & (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0))
+    if with_uv:
+        return t, ok, u, v
     return t, ok
 
 
-def _kernel_mxu(rayf_ref, *refs, leaf: int, eps: float, with_n: bool):
+def _kernel_mxu(rayf_ref, *refs, leaf: int, eps: float, with_n: bool,
+                with_uv: bool = False):
     """Closest hit over an in-kernel front-to-back cluster schedule.
 
     The tile's per-cluster entry ts are computed once up front
@@ -344,6 +355,8 @@ def _kernel_mxu(rayf_ref, *refs, leaf: int, eps: float, with_n: bool):
     blend done at the winner outside the kernel.)"""
     if with_n:
         feat_ref, nrm_ref, aabb_ref, t_ref, idx_ref, n_ref = refs
+    elif with_uv:
+        feat_ref, aabb_ref, t_ref, idx_ref, uv_ref = refs
     else:
         feat_ref, aabb_ref, t_ref, idx_ref = refs
     rayf = rayf_ref[:, :]                        # (RT, 10)
@@ -374,10 +387,13 @@ def _kernel_mxu(rayf_ref, *refs, leaf: int, eps: float, with_n: bool):
     def body(carry):
         if with_n:
             work, m, c, t_max, t_best, idx_best, nx, ny, nz = carry
+        elif with_uv:
+            work, m, c, t_max, t_best, idx_best, ub, vb = carry
         else:
             work, m, c, t_max, t_best, idx_best = carry
         m_next, c_next, work = pop(work)
-        t, ok = _mt_cluster_mxu(rayf, feat_ref, c, leaf, eps)
+        mt = _mt_cluster_mxu(rayf, feat_ref, c, leaf, eps, with_uv=with_uv)
+        t, ok = mt[0], mt[1]
         tt = jnp.where(ok, t, big)
         tmin_c = jnp.min(tt, axis=1)
         lane = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1)
@@ -393,21 +409,29 @@ def _kernel_mxu(rayf_ref, *refs, leaf: int, eps: float, with_n: bool):
             nx = jnp.where(better, sel_x, nx)
             ny = jnp.where(better, sel_y, ny)
             nz = jnp.where(better, sel_z, nz)
+        if with_uv:
+            onehot = lane == local[:, None]      # (RT, L)
+            sel_u = jnp.sum(jnp.where(onehot, mt[2], 0.0), axis=1)
+            sel_v = jnp.sum(jnp.where(onehot, mt[3], 0.0), axis=1)
+            ub = jnp.where(better, sel_u, ub)
+            vb = jnp.where(better, sel_v, vb)
         t_best = jnp.where(better, tmin_c, t_best)
         t_max = jnp.max(t_best)
         idx_best = jnp.where(
             better, (c * leaf + local).astype(jnp.int32), idx_best)
         if with_n:
             return work, m_next, c_next, t_max, t_best, idx_best, nx, ny, nz
+        if with_uv:
+            return work, m_next, c_next, t_max, t_best, idx_best, ub, vb
         return work, m_next, c_next, t_max, t_best, idx_best
 
     m0, c0, work0 = pop(entry)
     init = (work0, m0, c0, big,
             jnp.full((rt,), big, jnp.float32),
             jnp.full((rt,), -1, jnp.int32))
-    if with_n:
+    if with_n or with_uv:
         z = jnp.zeros((rt,), jnp.float32)
-        init = init + (z, z, z)
+        init = init + ((z, z, z) if with_n else (z, z))
     out = jax.lax.while_loop(cond, body, init)
     t_ref[0, :] = out[4]
     idx_ref[0, :] = out[5]
@@ -415,6 +439,98 @@ def _kernel_mxu(rayf_ref, *refs, leaf: int, eps: float, with_n: bool):
         n_ref[0, :] = out[6]
         n_ref[1, :] = out[7]
         n_ref[2, :] = out[8]
+    if with_uv:
+        uv_ref[0, :] = out[6]
+        uv_ref[1, :] = out[7]
+
+
+def _mt_cluster_mxu_signed(rayf, feat_ref, c, leaf: int, eps: float):
+    """_mt_cluster_mxu WITHOUT the t >= 0 gate: crossings behind the ray
+    origin stay valid. The reference's containers walk runs over the FULL
+    sorted intersection list including negative ts
+    (src/intersection.rs:29-62 walks xs; only hit() filters t >= 0)."""
+    s = pl.ds(c * (4 * leaf), 4 * leaf)
+    w = jax.lax.dot_general(
+        rayf, feat_ref[:, s],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=_HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    det = w[:, 0 * leaf:1 * leaf]
+    sh = w[:, 1 * leaf:2 * leaf]
+    dq = w[:, 2 * leaf:3 * leaf]
+    eq = w[:, 3 * leaf:4 * leaf]
+    det_ok = jnp.abs(det) >= eps
+    f = 1.0 / jnp.where(det_ok, det, 1.0)
+    u = f * sh
+    v = f * dq
+    t = f * eq
+    ok = det_ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+    return t, ok
+
+
+def _crossing_kernel_mxu(rayf_ref, maxt_ref, hitgid_ref, feat_ref, cid_ref,
+                         aabb_ref, cnt_ref, last_ref, *, leaf: int,
+                         eps: float, n_containers: int):
+    """Per-container crossing census for the n1/n2 refraction walk: for each
+    ray and each container slot k, count the triangle crossings with
+    t < t_hit (NEGATIVE ts included — see _mt_cluster_mxu_signed) and track
+    the latest such t. Parity of the count == "ray currently inside
+    container k"; the max-t winner is the containers stack's top.
+
+    hitgid excludes the hit triangle itself from its own census (this sweep
+    recomputes t, which can land an ulp on either side of the kernel's
+    t_hit and flip the parity of the very crossing being shaded).
+
+    No early exit is possible (every crossing must be counted), but the
+    schedule still skips clusters no ray's t<maxt segment overlaps, and the
+    wrapper masks clusters that contain no container triangles at all.
+    """
+    rayf = rayf_ref[:, :]                        # (RT, 10)
+    maxt = maxt_ref[:, :]                        # (RT, 1)
+    hitgid = hitgid_ref[:, :]                    # (RT, 1) i32
+    big = jnp.float32(BIG)
+    rt = rayf.shape[0]
+    entry = _slab_entries(rayf_ref, aabb_ref, maxt=maxt, signed=True)
+    C = entry.shape[1]
+    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+
+    def pop(work):
+        m = jnp.min(work)
+        c = jnp.min(jnp.where(work == m, lanes2, jnp.int32(2**30)))
+        return m, c, jnp.where(lanes2 == c, big, work)
+
+    def cond(carry):
+        return carry[1] < big
+
+    def body(carry):
+        work, m, c = carry[:3]
+        cnt = carry[3]
+        last = carry[4]
+        m_next, c_next, work = pop(work)
+        t, ok = _mt_cluster_mxu_signed(rayf, feat_ref, c, leaf, eps)
+        ok = ok & (t < maxt)
+        lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        gid = c * leaf + lane                   # global triangle ids (RT, L)
+        ok = ok & (gid != hitgid)
+        s = pl.ds(pl.multiple_of(c * leaf, leaf), leaf)
+        cid = cid_ref[0, s][None, :]            # (1, L) container slots
+        new_cnt, new_last = [], []
+        for k in range(n_containers):
+            mk = ok & (cid == k)
+            new_cnt.append(cnt[k] + jnp.sum(mk, axis=1, dtype=jnp.int32))
+            new_last.append(jnp.maximum(
+                last[k], jnp.max(jnp.where(mk, t, -big), axis=1)))
+        return (work, m_next, c_next, tuple(new_cnt), tuple(new_last))
+
+    m0, c0, work0 = pop(entry)
+    cnt0 = tuple(jnp.zeros((rt,), jnp.int32) for _ in range(n_containers))
+    last0 = tuple(jnp.full((rt,), -big, jnp.float32)
+                  for _ in range(n_containers))
+    out = jax.lax.while_loop(cond, body, (work0, m0, c0, cnt0, last0))
+    for k in range(n_containers):
+        cnt_ref[k, :] = out[3][k]
+        last_ref[k, :] = out[4][k]
 
 
 def _anyhit_kernel_mxu(rayf_ref, maxt_ref, feat_ref, aabb_ref, hit_ref, *,
@@ -472,10 +588,12 @@ def _blocked(tri_p1, leaf: int, budget: int):
     return -(-n_c // per_block)
 
 
-def _block_tables(p1, e1, e2, aabb, n_blocks: int, leaf: int, nrm=None):
+def _block_tables(p1, e1, e2, aabb, n_blocks: int, leaf: int, nrm=None,
+                  cid=None):
     """Split the triangle/cluster tables into n_blocks equal superblocks,
     padding with empty clusters (lo > hi: never scheduled) and degenerate
-    triangles (zero edges: det-guard rejects)."""
+    triangles (zero edges: det-guard rejects). cid (container-slot per
+    triangle) pads with -1 (no container)."""
     C = aabb.shape[0]
     per_block = -(-C // n_blocks)
     cpad = n_blocks * per_block - C
@@ -489,19 +607,23 @@ def _block_tables(p1, e1, e2, aabb, n_blocks: int, leaf: int, nrm=None):
         e2 = jnp.concatenate([e2, z])
         if nrm is not None:
             nrm = jnp.concatenate([nrm, z])
+        if cid is not None:
+            cid = jnp.concatenate(
+                [cid, jnp.full((cpad * leaf,), -1, cid.dtype)])
     tb = per_block * leaf
     nb = None if nrm is None else nrm.reshape(n_blocks, tb, 3)
+    cb = None if cid is None else cid.reshape(n_blocks, tb)
     return (p1.reshape(n_blocks, tb, 3), e1.reshape(n_blocks, tb, 3),
             e2.reshape(n_blocks, tb, 3), aabb.reshape(n_blocks, per_block, 6),
-            per_block, nb)
+            per_block, nb, cb)
 
 
 def _closest_hit_blocked(o, d, p1, e1, e2, aabb, n_blocks: int, leaf: int,
                          ray_tile: int, eps: float, interpret: bool,
-                         tri_n=None):
+                         tri_n=None, want_uv: bool = False):
     """HBM-streaming path: lax.map over cluster superblocks (each block's
     feature slab fits VMEM), min-by-t combine across blocks."""
-    p1b, e1b, e2b, aabbb, per_block, nb = _block_tables(
+    p1b, e1b, e2b, aabbb, per_block, nb, _ = _block_tables(
         p1, e1, e2, aabb, n_blocks, leaf, nrm=tri_n)
     empty_sup = jnp.zeros((0, 6), aabb.dtype)
     with_n = tri_n is not None
@@ -512,7 +634,7 @@ def _closest_hit_blocked(o, d, p1, e1, e2, aabb, n_blocks: int, leaf: int,
             o, d, bp1, be1, be2, bab, empty_sup, n_super=0, leaf=leaf,
             ray_tile=ray_tile, eps=eps, interpret=interpret,
             vmem_tri_budget=per_block * leaf,
-            tri_n=block[4] if with_n else None)
+            tri_n=block[4] if with_n else None, want_uv=want_uv)
 
     blocks = (p1b, e1b, e2b, aabbb) + ((nb,) if with_n else ())
     out = jax.lax.map(one, blocks)                          # (B, R) each
@@ -522,16 +644,16 @@ def _closest_hit_blocked(o, d, p1, e1, e2, aabb, n_blocks: int, leaf: int,
     best = jnp.argmin(ts, axis=0)                           # miss rows are BIG
     t = jnp.take_along_axis(ts, best[None, :], axis=0)[0]
     idx = jnp.take_along_axis(idx_g, best[None, :], axis=0)[0]
-    if with_n:
-        n = jnp.take_along_axis(out[2], best[None, :, None], axis=0)[0]
-        return t, idx, n
+    if with_n or want_uv:
+        payload = jnp.take_along_axis(out[2], best[None, :, None], axis=0)[0]
+        return t, idx, payload
     return t, idx
 
 
 def _any_hit_blocked(o, d, max_t, p1, e1, e2, aabb, n_blocks: int, leaf: int,
                      ray_tile: int, eps: float, interpret: bool):
-    p1b, e1b, e2b, aabbb, per_block, _ = _block_tables(p1, e1, e2, aabb,
-                                                       n_blocks, leaf)
+    p1b, e1b, e2b, aabbb, per_block, _, _ = _block_tables(p1, e1, e2, aabb,
+                                                          n_blocks, leaf)
     empty_sup = jnp.zeros((0, 6), aabb.dtype)
 
     def one(block):
@@ -545,17 +667,120 @@ def _any_hit_blocked(o, d, max_t, p1, e1, e2, aabb, n_blocks: int, leaf: int,
     return jnp.any(hits, axis=0)
 
 
+def _crossing_blocked(o, d, t_hit, hit_gid, p1, e1, e2, aabb, cid,
+                      n_containers: int, n_blocks: int, leaf: int,
+                      ray_tile: int, eps: float, interpret: bool):
+    """Superblock streaming for the crossing census: counts sum across
+    blocks, last-crossing ts max across blocks. hit_gid is rebased per block
+    (out-of-block ids never match, so the exclusion lands exactly once)."""
+    p1b, e1b, e2b, aabbb, per_block, _, cb = _block_tables(
+        p1, e1, e2, aabb, n_blocks, leaf, cid=cid)
+    offs = jnp.arange(n_blocks, dtype=jnp.int32) * (per_block * leaf)
+
+    def one(block):
+        bp1, be1, be2, bab, bcid, off = block
+        return mesh_crossing_count_mxu(
+            o, d, t_hit, hit_gid - off, bp1, be1, be2, bab, bcid,
+            n_containers=n_containers, leaf=leaf, ray_tile=ray_tile,
+            eps=eps, interpret=interpret,
+            vmem_tri_budget=per_block * leaf)
+
+    cnt, last = jax.lax.map(one, (p1b, e1b, e2b, aabbb, cb, offs))
+    return jnp.sum(cnt, axis=0), jnp.max(last, axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_containers", "leaf", "ray_tile", "eps", "interpret",
+                     "vmem_tri_budget"),
+)
+def mesh_crossing_count_mxu(o, d, t_hit, hit_gid, tri_p1, tri_e1, tri_e2,
+                            cluster_aabb, tri_cid, n_containers: int,
+                            leaf: int, ray_tile: int = 512,
+                            eps: float = EPSILON, interpret: bool = False,
+                            vmem_tri_budget: int = VMEM_TRI_BUDGET):
+    """Per-container triangle-crossing census for the n1/n2 refraction walk
+    (reference: the containers stack of src/intersection.rs:29-62).
+
+    o/d: (R, 3); t_hit: (R,) census bound (strictly-before); hit_gid: (R,)
+    global index of the hit triangle to exclude (-2 for non-triangle hits);
+    tri_cid: (T,) i32 container slot per triangle in [0, n_containers),
+    -1 = not a container triangle.
+
+    Returns (cnt (R, K) i32, last (R, K) f32): per-container crossing count
+    and latest crossing t (-BIG where none), NEGATIVE crossings included —
+    parity(cnt) == inside, argmax(last) == containers-stack top. Clusters
+    with no container triangles are masked out of the traversal schedule.
+    Oversized meshes stream in superblocks like the other MXU entry points.
+    """
+    n_blocks = _blocked(tri_p1, leaf, vmem_tri_budget)
+    if n_blocks > 1:
+        return _crossing_blocked(
+            o, d, t_hit, hit_gid, tri_p1, tri_e1, tri_e2, cluster_aabb,
+            tri_cid, n_containers, n_blocks, leaf, ray_tile, eps, interpret)
+    R = o.shape[0]
+    rt = min(ray_tile, max(R, 128))
+    pad = (-R) % rt
+    o_p = jnp.pad(o, ((0, pad), (0, 0)), constant_values=BIG)
+    d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+    t_p = jnp.pad(t_hit, ((0, pad),), constant_values=-BIG)  # padded: no work
+    g_p = jnp.pad(hit_gid, ((0, pad),), constant_values=-2)
+    n_tiles = (R + pad) // rt
+
+    feat = _tri_features(tri_p1, tri_e1, tri_e2, leaf)
+    rayf = _ray_features(o_p, d_p)
+    C = cluster_aabb.shape[0]
+    # mask clusters that hold no container triangle: inverted boxes are
+    # dropped by _slab_entries' empty-cluster check
+    has = jnp.any(tri_cid.reshape(C, leaf) >= 0, axis=1)
+    empty_box = jnp.concatenate([jnp.ones((C, 3)), -jnp.ones((C, 3))],
+                                axis=1).astype(jnp.float32)
+    aabb_t = jnp.where(has[:, None], cluster_aabb.astype(jnp.float32),
+                       empty_box).T                          # (6, C)
+
+    kernel = functools.partial(_crossing_kernel_mxu, leaf=leaf, eps=eps,
+                               n_containers=n_containers)
+    cnt, last = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((rt, 10), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(feat.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tri_cid.shape[0]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(aabb_t.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_containers, rt), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_containers, rt), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_containers, R + pad), jnp.int32),
+            jax.ShapeDtypeStruct((n_containers, R + pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rayf, t_p.astype(jnp.float32)[:, None], g_p.astype(jnp.int32)[:, None],
+      feat, tri_cid.astype(jnp.int32)[None, :], aabb_t)
+    return cnt[:, :R].T, last[:, :R].T.astype(o.dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_super", "super_width", "leaf", "ray_tile", "eps",
-                     "interpret", "vmem_tri_budget"),
+                     "interpret", "vmem_tri_budget", "want_uv"),
 )
 def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
                          super_aabb, n_super: int, leaf: int,
                          super_width: int = 8, ray_tile: int = 128,
                          eps: float = EPSILON, interpret: bool = False,
                          vmem_tri_budget: int = VMEM_TRI_BUDGET,
-                         tri_n=None):
+                         tri_n=None, want_uv: bool = False):
     """Closest triangle hit with MXU cluster tests and an IN-KERNEL
     front-to-back traversal schedule (every tile slab-tests the whole (6, C)
     cluster AABB table in VMEM, then a fused selection-sort while_loop visits
@@ -565,18 +790,21 @@ def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
 
     With tri_n (T, 3) provided, the winner's row is selected in-kernel and a
     third output n (R, 3) is returned (zeros on miss) — eliminating the
-    XLA-side normal gather from the shading path.
+    XLA-side normal gather from the shading path. With want_uv=True (smooth
+    meshes; mutually exclusive with tri_n) the winner's barycentric (u, v)
+    is selected in-kernel instead and returned as a third output uv (R, 2).
 
     Meshes whose feature slab exceeds the VMEM budget stream through the
     kernel in cluster superblocks (lax.map over block-sliced tables) with an
     XLA min-by-t combine — HBM-resident geometry, VMEM-resident blocks.
     """
     del super_aabb, n_super, super_width
+    assert not (want_uv and tri_n is not None)
     n_blocks = _blocked(tri_p1, leaf, vmem_tri_budget)
     if n_blocks > 1:
         return _closest_hit_blocked(
             o, d, tri_p1, tri_e1, tri_e2, cluster_aabb, n_blocks, leaf,
-            ray_tile, eps, interpret, tri_n=tri_n)
+            ray_tile, eps, interpret, tri_n=tri_n, want_uv=want_uv)
     R = o.shape[0]
     rt = min(ray_tile, max(R, 128))
     pad = (-R) % rt
@@ -589,7 +817,8 @@ def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
     aabb_t = cluster_aabb.astype(jnp.float32).T          # (6, C)
     with_n = tri_n is not None
 
-    kernel = functools.partial(_kernel_mxu, leaf=leaf, eps=eps, with_n=with_n)
+    kernel = functools.partial(_kernel_mxu, leaf=leaf, eps=eps,
+                               with_n=with_n, with_uv=want_uv)
     feat_spec = [pl.BlockSpec(feat.shape, lambda i: (0, 0),
                               memory_space=pltpu.VMEM)]
     args = [rayf, feat]
@@ -610,6 +839,10 @@ def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
         out_specs.append(
             pl.BlockSpec((3, rt), lambda i: (0, i), memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((3, R + pad), jnp.float32))
+    if want_uv:
+        out_specs.append(
+            pl.BlockSpec((2, rt), lambda i: (0, i), memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((2, R + pad), jnp.float32))
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -624,7 +857,7 @@ def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
         interpret=interpret,
     )(*args, aabb_t)
     t, idx = out[0], out[1]
-    if with_n:
+    if with_n or want_uv:
         return (t[0, :R].astype(o.dtype), idx[0, :R],
                 out[2][:, :R].T.astype(o.dtype))
     return t[0, :R].astype(o.dtype), idx[0, :R]

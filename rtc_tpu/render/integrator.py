@@ -178,6 +178,46 @@ def _kernel_closest_n(spec, o, d, p1, e1, e2, nrm, aabb, sup):
     return t, idx, n
 
 
+@functools.partial(_jax.custom_jvp, nondiff_argnums=(0,))
+def _kernel_closest_uv(spec, o, d, p1, e1, e2, aabb, sup):
+    """_kernel_closest variant that also selects the winner's barycentric
+    (u, v) IN-KERNEL (mxu only; smooth meshes blend corner normals with
+    these weights OUTSIDE the kernel). Autodiff semantics match the gathered
+    Möller-Trumbore recompute it replaces: tangent d(u,v) from a single
+    refined evaluation at the winning triangle."""
+    impl, n_super, leaf, ray_tile, eps = spec
+    from ..ops.pallas.mesh_intersect import mesh_closest_hit_mxu
+
+    sg = _jax.lax.stop_gradient
+    t, idx, uv = mesh_closest_hit_mxu(
+        sg(o), sg(d), sg(p1), sg(e1), sg(e2), sg(aabb), sg(sup),
+        n_super=n_super, leaf=leaf, ray_tile=ray_tile, eps=eps,
+        interpret=impl.endswith("_interpret"), want_uv=True)
+    return t, idx, uv
+
+
+@_kernel_closest_uv.defjvp
+def _kernel_closest_uv_jvp(spec, primals, tangents):
+    o, d, p1, e1, e2, aabb, sup = primals
+    do, dd, dp1, de1, de2, _, _ = tangents
+    t, idx, uv = _kernel_closest_uv(spec, *primals)
+    eps = spec[4]
+    hit_ok = idx >= 0
+    idx_c = jnp.where(hit_ok, idx, 0)
+
+    def refined(o, d, p1, e1, e2):
+        t_ref, _, u_ref, v_ref = intersect.triangle(
+            o, d, p1[idx_c], e1[idx_c], e2[idx_c], eps)
+        return t_ref, jnp.stack([u_ref, v_ref], axis=-1)
+
+    _, (dt, duv) = _jax.jvp(refined, (o, d, p1, e1, e2),
+                            (do, dd, dp1, de1, de2))
+    dt = jnp.where(hit_ok, dt, 0.0)
+    duv = jnp.where(hit_ok[:, None], duv, 0.0)
+    didx = _np.zeros(idx.shape, dtype=_jax.dtypes.float0)
+    return (t, idx, uv), (dt, didx, duv)
+
+
 @_kernel_closest_n.defjvp
 def _kernel_closest_n_jvp(spec, primals, tangents):
     o, d, p1, e1, e2, nrm, aabb, sup = primals
@@ -253,6 +293,21 @@ def mesh_closest(scene: Scene, o, d, cfg: RenderConfig, want_n: bool = False):
             t, idx, n = _kernel_closest_n(
                 spec, o, d, scene.tri_p1, scene.tri_e1, scene.tri_e2,
                 scene.tri_n, scene.cluster_aabb, scene.super_aabb)
+        elif want_n and impl.startswith("mxu"):
+            # smooth meshes: winner (u, v) selected in-kernel; the corner
+            # normals blend with ONE fused (T, 9) gather — replacing the
+            # gathered Möller-Trumbore recompute (3 gathers + full MT) plus
+            # 3 separate corner-normal gathers of the fallback below
+            t, idx, uv = _kernel_closest_uv(
+                spec, o, d, scene.tri_p1, scene.tri_e1, scene.tri_e2,
+                scene.cluster_aabb, scene.super_aabb)
+            idx_c0 = jnp.where(idx >= 0, idx, 0)
+            snc = jnp.concatenate(
+                [scene.tri_sn1, scene.tri_sn2, scene.tri_sn3], axis=1)
+            g = snc[idx_c0]                                  # (R, 9)
+            u, v = uv[:, 0:1], uv[:, 1:2]
+            n = normalize(
+                (1.0 - u - v) * g[:, 0:3] + u * g[:, 3:6] + v * g[:, 6:9])
         else:
             t, idx = _kernel_closest(
                 spec, o, d, scene.tri_p1, scene.tri_e1, scene.tri_e2,
@@ -579,18 +634,43 @@ def refraction_indices(scene: Scene, o, d, hit: HitInfo, cfg: RenderConfig,
         lasts.append(jnp.max(jnp.where(before, t, -BIG), axis=2))
         objs.append(jnp.asarray(ids, dtype=jnp.int32))  # prim id == obj id
     if mesh_ids:
-        t, v, _, _ = intersect.triangle(
-            o[:, None, None, :], d[:, None, None, :],
-            scene.refr_tri_p1[None], scene.refr_tri_e1[None],
-            scene.refr_tri_e2[None], cfg.epsilon)       # (R, Km, Tm)
-        # exclude the hit triangle from its own parity count: this sweep
-        # recomputes t, which can land an ulp on either side of the kernel's
-        # t_hit and flip the parity of the very crossing being shaded
         hit_gid = jnp.where(hit.is_tri, hit.tri, -2)
-        not_self = scene.refr_tri_gid[None] != hit_gid[:, None, None]
-        before = v & not_self & (t < hit.t[:, None, None])
-        cnts.append(jnp.sum(before, axis=2))
-        lasts.append(jnp.max(jnp.where(before, t, -BIG), axis=2))
+        impl = _resolve_mesh_impl(scene, cfg, o.dtype)
+        if impl.startswith("mxu") and cfg.prim_axis is None:
+            # crossing-count MXU kernel over the GLOBAL clustered tables:
+            # each triangle carries its container slot, the kernel censuses
+            # (count, latest t) per slot with the hit triangle excluded —
+            # replacing the dense (R, Km, Tm) XLA Möller-Trumbore sweep that
+            # dominated transparent-mesh frames
+            import jax
+
+            from ..ops.pallas.mesh_intersect import mesh_crossing_count_mxu
+
+            sg = jax.lax.stop_gradient
+            tri_cid = jnp.full(scene.tri_obj.shape, -1, jnp.int32)
+            for k, oid in enumerate(mesh_ids):
+                tri_cid = jnp.where(scene.tri_obj == oid, k, tri_cid)
+            cnt_m, last_m = mesh_crossing_count_mxu(
+                sg(o), sg(d), sg(hit.t), hit_gid,
+                sg(scene.tri_p1), sg(scene.tri_e1), sg(scene.tri_e2),
+                sg(scene.cluster_aabb), tri_cid,
+                n_containers=len(mesh_ids), leaf=scene.static.cluster_size,
+                ray_tile=min(512, max(128, R)), eps=cfg.epsilon,
+                interpret=impl.endswith("_interpret"))
+            cnts.append(cnt_m)
+            lasts.append(sg(last_m))
+        else:
+            t, v, _, _ = intersect.triangle(
+                o[:, None, None, :], d[:, None, None, :],
+                scene.refr_tri_p1[None], scene.refr_tri_e1[None],
+                scene.refr_tri_e2[None], cfg.epsilon)       # (R, Km, Tm)
+            # exclude the hit triangle from its own parity count: this sweep
+            # recomputes t, which can land an ulp on either side of the
+            # kernel's t_hit and flip the parity of the crossing being shaded
+            not_self = scene.refr_tri_gid[None] != hit_gid[:, None, None]
+            before = v & not_self & (t < hit.t[:, None, None])
+            cnts.append(jnp.sum(before, axis=2))
+            lasts.append(jnp.max(jnp.where(before, t, -BIG), axis=2))
         objs.append(jnp.asarray(mesh_ids, dtype=jnp.int32))
 
     cnt = jnp.concatenate(cnts, axis=1)                 # (R, K)

@@ -255,3 +255,193 @@ def test_in_kernel_normal_matches_gather():
     np.testing.assert_allclose(
         np.asarray(n2)[keep], np.asarray(scene.tri_n[jnp.asarray(i2)])[keep],
         rtol=0, atol=0)
+
+
+# --- crossing-count kernel (refractive-mesh n1/n2 census) ----------------------
+
+
+def _dense_census(scene, o, d, t_hit, hit_gid, eps):
+    """The dense (R, Km, Tm) XLA census the kernel replaces."""
+    from rtc_tpu.ops import intersect
+
+    t, v, _, _ = intersect.triangle(
+        o[:, None, None, :], d[:, None, None, :],
+        scene.refr_tri_p1[None], scene.refr_tri_e1[None],
+        scene.refr_tri_e2[None], eps)
+    not_self = scene.refr_tri_gid[None] != hit_gid[:, None, None]
+    before = v & not_self & (t < t_hit[:, None, None])
+    cnt = np.asarray(jnp.sum(before, axis=2))
+    last = np.asarray(jnp.max(jnp.where(before, t, -BIG), axis=2))
+    return cnt, last
+
+
+@pytest.fixture(scope="module")
+def glass_teapot32():
+    world, cam = REGISTRY["glass_teapot"](32)
+    scene = compile_scene(world, dtype=np.float32)
+    o, d = rays_for(cam)
+    return scene, o, d
+
+
+def _census_rays(scene, o, d):
+    """Primary rays + their hits (t_hit, hit_gid), plus rays re-seated INSIDE
+    the teapot (under_point along the ray) so negative-t crossings and
+    parity-from-inside are exercised."""
+    cfg = RenderConfig(dtype="float32", mesh_impl="bruteforce")
+    t, i = integrator.mesh_closest(scene, o, d, cfg)
+    hit = np.asarray(t) < BIG / 2
+    hit_gid = jnp.where(jnp.asarray(hit), i, -2)
+    t_hit = jnp.asarray(t)
+    # stage 2: origins nudged past the first hit (inside the glass)
+    t_safe = jnp.where(jnp.asarray(hit), t, 0.0)
+    o2 = o + d * (t_safe[:, None] + 1e-3)
+    return (o, d, t_hit, hit_gid), (o2, d, jnp.full_like(t_hit, BIG),
+                                    jnp.full_like(hit_gid, -2))
+
+
+def test_crossing_kernel_matches_dense_census(glass_teapot32):
+    from rtc_tpu.ops.pallas.mesh_intersect import mesh_crossing_count_mxu
+
+    scene, o, d = glass_teapot32
+    st = scene.static
+    mesh_ids = st.refr_mesh_obj_ids
+    assert mesh_ids  # the teapot is a refractive container
+    tri_cid = jnp.full(scene.tri_obj.shape, -1, jnp.int32)
+    for k, oid in enumerate(mesh_ids):
+        tri_cid = jnp.where(scene.tri_obj == oid, k, tri_cid)
+
+    for (oo, dd, t_hit, hit_gid) in _census_rays(scene, o, d):
+        cnt_k, last_k = mesh_crossing_count_mxu(
+            oo, dd, t_hit, hit_gid, scene.tri_p1, scene.tri_e1,
+            scene.tri_e2, scene.cluster_aabb, tri_cid,
+            n_containers=len(mesh_ids), leaf=st.cluster_size,
+            interpret=True)
+        cnt_d, last_d = _dense_census(scene, oo, dd, t_hit, hit_gid,
+                                      1e-5)
+        cnt_k, last_k = np.asarray(cnt_k), np.asarray(last_k)
+        # boundary-ulp disagreements (t == t_hit knife edges) only
+        same = (cnt_k == cnt_d).all(axis=1)
+        assert same.mean() > 0.995, f"census parity differs on {(~same).sum()}"
+        close = np.abs(last_k - last_d) < 1e-4
+        assert (close | ~same[:, None]).mean() > 0.995
+
+
+def test_crossing_kernel_blocked_matches_single(glass_teapot32):
+    from rtc_tpu.ops.pallas.mesh_intersect import mesh_crossing_count_mxu
+
+    scene, o, d = glass_teapot32
+    st = scene.static
+    o, d = o[::5][:256], d[::5][:256]
+    tri_cid = jnp.where(scene.tri_obj == st.refr_mesh_obj_ids[0], 0, -1)
+    cfg = RenderConfig(dtype="float32", mesh_impl="bruteforce")
+    t, i = integrator.mesh_closest(scene, o, d, cfg)
+    hit_gid = jnp.where(jnp.asarray(t) < BIG / 2, i, -2)
+    kw = dict(n_containers=1, leaf=st.cluster_size, interpret=True)
+    c1, l1 = mesh_crossing_count_mxu(
+        o, d, t, hit_gid, scene.tri_p1, scene.tri_e1, scene.tri_e2,
+        scene.cluster_aabb, tri_cid, **kw)
+    c2, l2 = mesh_crossing_count_mxu(
+        o, d, t, hit_gid, scene.tri_p1, scene.tri_e1, scene.tri_e2,
+        scene.cluster_aabb, tri_cid, vmem_tri_budget=2 * st.cluster_size,
+        **kw)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-6)
+
+
+def test_glass_teapot_render_kernel_matches_bruteforce():
+    """End-to-end refractive-mesh render through the crossing-count kernel
+    path must match the dense-sweep brute-force render."""
+    world, cam = REGISTRY["glass_teapot"](24)
+    scene = compile_scene(world, dtype=np.float32)
+    img_b = np.asarray(render(scene, cam, RenderConfig(
+        dtype="float32", ray_tile=512, mesh_impl="bruteforce")))
+    img_p = np.asarray(render(scene, cam, RenderConfig(
+        dtype="float32", ray_tile=512, mesh_impl="mxu_interpret")))
+    diff = np.max(np.abs(img_b - img_p), axis=-1)
+    assert (diff > 2e-3).mean() < 0.02, f"bad pixels: {(diff > 2e-3).mean()}"
+
+
+# --- in-kernel winner (u, v) payload (smooth meshes) ---------------------------
+
+
+def test_in_kernel_uv_smooth_normal_matches_bruteforce():
+    """Smooth meshes select the winner's barycentric (u, v) inside the MXU
+    kernel and blend corner normals with one fused gather; the resulting
+    shading normals must match the brute-force path's gathered-MT blend."""
+    world, cam = REGISTRY["teapot_smooth"](32)
+    scene = compile_scene(world, dtype=np.float32)
+    assert scene.static.any_smooth
+    o, d = rays_for(cam)
+
+    cfg_k = RenderConfig(dtype="float32", mesh_impl="mxu_interpret")
+    cfg_b = RenderConfig(dtype="float32", mesh_impl="bruteforce")
+    t_k, i_k, n_k = integrator.mesh_closest(scene, o, d, cfg_k, want_n=True)
+    assert n_k is not None
+    hit_k = integrator.closest_hit(scene, o, d, cfg_k)
+    hit_b = integrator.closest_hit(scene, o, d, cfg_b)
+    ok = np.asarray(hit_b.valid)
+    np.testing.assert_array_equal(ok, np.asarray(hit_k.valid))
+    nk = np.asarray(hit_k.tri_n)[ok]
+    nb = np.asarray(hit_b.tri_n)[ok]
+    # identical winners -> near-identical blended normals; tie-pick winners
+    # (different triangle, same t) legitimately differ
+    same_tri = np.asarray(hit_k.tri)[ok] == np.asarray(hit_b.tri)[ok]
+    err = np.abs(nk - nb).max(axis=1)
+    assert (err[same_tri] < 1e-4).mean() > 0.999
+
+
+def test_smooth_render_kernel_matches_bruteforce():
+    world, cam = REGISTRY["teapot_smooth"](24)
+    scene = compile_scene(world, dtype=np.float32)
+    img_b = np.asarray(render(scene, cam, RenderConfig(
+        dtype="float32", ray_tile=512, mesh_impl="bruteforce")))
+    img_p = np.asarray(render(scene, cam, RenderConfig(
+        dtype="float32", ray_tile=512, mesh_impl="mxu_interpret")))
+    diff = np.max(np.abs(img_b - img_p), axis=-1)
+    assert (diff > 2e-3).mean() < 0.02
+
+
+def test_uv_blocked_streaming_matches_single():
+    from rtc_tpu.ops.pallas.mesh_intersect import mesh_closest_hit_mxu
+
+    world, cam = REGISTRY["teapot_smooth"](32)
+    scene = compile_scene(world, dtype=np.float32)
+    o, d = rays_for(cam)
+    o, d = o[::5][:256], d[::5][:256]
+    st = scene.static
+    args = (scene.tri_p1, scene.tri_e1, scene.tri_e2, scene.cluster_aabb,
+            scene.super_aabb)
+    kw = dict(n_super=st.n_super, leaf=st.cluster_size, interpret=True,
+              want_uv=True)
+    t1, i1, uv1 = mesh_closest_hit_mxu(o, d, *args, **kw)
+    t2, i2, uv2 = mesh_closest_hit_mxu(
+        o, d, *args, vmem_tri_budget=2 * st.cluster_size, **kw)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(uv1), np.asarray(uv2), rtol=1e-6)
+
+
+# --- large-scene superblock streaming (cow_herd, 523k triangles) ---------------
+
+
+@pytest.mark.slow
+def test_cow_herd_streaming_matches_bruteforce():
+    """The 523k-triangle herd is ~10x over the VMEM triangle budget (11
+    superblocks): the streaming closest-hit must agree with the dense sweep.
+    256-ray probe keeps the brute-force (R, 523k) reference tractable."""
+    world, cam = REGISTRY["cow_herd"](32)
+    scene = compile_scene(world, dtype=np.float32)
+    from rtc_tpu.ops.pallas.mesh_intersect import _blocked, VMEM_TRI_BUDGET
+
+    assert _blocked(scene.tri_p1, scene.static.cluster_size,
+                    VMEM_TRI_BUDGET) >= 10
+    o, d = rays_for(cam)
+    o, d = o[::4][:256], d[::4][:256]
+    t_b, i_b = integrator.mesh_closest(
+        scene, o, d, RenderConfig(dtype="float32", mesh_impl="bruteforce"))
+    t_k, i_k = integrator.mesh_closest(
+        scene, o, d, RenderConfig(dtype="float32", mesh_impl="mxu_interpret"))
+    t_b, t_k = np.asarray(t_b), np.asarray(t_k)
+    hit_b, hit_k = t_b < BIG / 2, t_k < BIG / 2
+    np.testing.assert_array_equal(hit_b, hit_k)
+    assert hit_b.any()
+    np.testing.assert_allclose(t_k[hit_k], t_b[hit_b], rtol=1e-4, atol=1e-5)
