@@ -599,7 +599,7 @@ def object_record(scene: Scene, obj):
 
 
 def refraction_indices(scene: Scene, o, d, hit: HitInfo, cfg: RenderConfig,
-                       n2_enter=None):
+                       n2_enter=None, live=None):
     """n1/n2 via crossing parity — the vectorized equivalent of the
     reference's containers-stack walk over the sorted intersection list
     (src/intersection.rs:29-62).
@@ -616,6 +616,12 @@ def refraction_indices(scene: Scene, o, d, hit: HitInfo, cfg: RenderConfig,
     transparency > 0 participate as containers. Objects with ior == 1.0
     contribute the default 1.0 in the reference, so values agree except in
     the degenerate shading-from-inside-an-opaque-object case.
+
+    live: optional (R,) bool — rays whose shading never reads n1/n2 (e.g.
+    the hit material has transparency == 0, so neither the Snell child nor
+    the Schlick blend exists, src/world.rs:71-77,132-134). The kernel path
+    drops them from the census schedule; they get whatever default falls
+    out (harmless: their n1/n2 are multiplied into parked/zero lanes).
     """
     ids = scene.static.refr_prim_ids
     mesh_ids = scene.static.refr_mesh_obj_ids
@@ -650,8 +656,12 @@ def refraction_indices(scene: Scene, o, d, hit: HitInfo, cfg: RenderConfig,
             tri_cid = jnp.full(scene.tri_obj.shape, -1, jnp.int32)
             for k, oid in enumerate(mesh_ids):
                 tri_cid = jnp.where(scene.tri_obj == oid, k, tri_cid)
+            t_census = hit.t
+            if live is not None:
+                # dead lanes: census bound -BIG -> zero clusters scheduled
+                t_census = jnp.where(live, t_census, -BIG)
             cnt_m, last_m = mesh_crossing_count_mxu(
-                sg(o), sg(d), sg(hit.t), hit_gid,
+                sg(o), sg(d), sg(t_census), hit_gid,
                 sg(scene.tri_p1), sg(scene.tri_e1), sg(scene.tri_e2),
                 sg(scene.cluster_aabb), tri_cid,
                 n_containers=len(mesh_ids), leaf=scene.static.cluster_size,
@@ -709,10 +719,16 @@ class Comps(NamedTuple):
 
 
 def prepare_hit(scene: Scene, o, d, hit: HitInfo, cfg: RenderConfig,
-                n2_enter=None) -> Comps:
+                n2_enter=None, need_refraction: bool = True,
+                refraction_live=None) -> Comps:
     """Derive the shading frame for a wavefront of hits
     (reference: src/intersection.rs:17-77). Misses carry finite dummy values;
-    callers mask on hit.valid."""
+    callers mask on hit.valid.
+
+    need_refraction=False skips the n1/n2 census entirely (bounce-tree LEAF
+    nodes: both secondary children are statically black, so neither Snell
+    nor the Schlick blend ever reads n1/n2 — src/world.rs:85-87,117-119);
+    refraction_live masks it per ray (see refraction_indices)."""
     eps = cfg.epsilon
     t_safe = jnp.where(hit.valid, hit.t, 1.0)
     point = o + d * t_safe[:, None]
@@ -721,7 +737,11 @@ def prepare_hit(scene: Scene, o, d, hit: HitInfo, cfg: RenderConfig,
     inside = dot(n_raw, eyev) < 0.0
     normalv = jnp.where(inside[:, None], -n_raw, n_raw)
     reflectv = reflect(d, normalv)
-    n1, n2 = refraction_indices(scene, o, d, hit, cfg, n2_enter=n2_enter)
+    if need_refraction:
+        n1, n2 = refraction_indices(scene, o, d, hit, cfg,
+                                    n2_enter=n2_enter, live=refraction_live)
+    else:
+        n1 = n2 = jnp.ones(o.shape[:1], o.dtype)
     return Comps(
         point=point,
         eyev=eyev,
@@ -764,7 +784,14 @@ def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None):
     valid = hit.valid
     obj = hit.obj
     rec = object_record(scene, obj)  # one fused gather of all shading data
-    comps = prepare_hit(scene, o, d, hit, cfg, n2_enter=rec["ior"])
+    # n1/n2 are read only by the Snell child and the Schlick blend, both of
+    # which exist only when this node can branch AND the hit material is
+    # transparent (src/world.rs:71-77,132-134) — so leaf nodes skip the
+    # containers census statically and opaque-hit rays are masked out of it
+    comps = prepare_hit(
+        scene, o, d, hit, cfg, n2_enter=rec["ior"],
+        need_refraction=budget >= 4 and st.any_refractive,
+        refraction_live=valid & (rec["transparency"] > 0.0))
     point, eyev, normalv = comps.point, comps.eyev, comps.normalv
     # Dead lanes (misses) still flow through shadow/secondary sweeps; parking
     # their ray origins far outside every AABB makes the cluster cull reject

@@ -48,29 +48,39 @@ SPECS = {
 
 HERE = os.path.dirname(__file__)
 
+# the reference's DEFAULT render width (src/main.rs:77): full-resolution
+# anchors for the two headline scenes, stored as <name>_w400.npy
+FULLWIDTH_SPECS = {"cow": 400, "table": 400}
+
 
 def _spec(v):
     """SPECS value: width or (width, max_depth)."""
     return v if isinstance(v, tuple) else (v, 5)
 
 
+def _regen(name, width, depth, path):
+    world, cam = REGISTRY[name](width)
+    scene = compile_scene(world, dtype=np.float64)
+    img = np.asarray(
+        render(scene, cam,
+               RenderConfig(dtype="float64", ray_tile=512, max_depth=depth)))
+    old = np.load(path) if os.path.exists(path) else None
+    np.save(path, img)
+    if old is not None and old.shape == img.shape:
+        d = np.abs(old - img).max(axis=2)
+        print(f"{os.path.basename(path)}: {int((d > 1e-9).sum())} px changed, "
+              f"max {d.max():.3e}")
+    else:
+        print(f"{os.path.basename(path)}: written")
+
+
 def main():
     for name in sorted(SPECS):
         width, depth = _spec(SPECS[name])
-        world, cam = REGISTRY[name](width)
-        scene = compile_scene(world, dtype=np.float64)
-        img = np.asarray(
-            render(scene, cam,
-                   RenderConfig(dtype="float64", ray_tile=512, max_depth=depth)))
-        path = os.path.join(HERE, f"{name}.npy")
-        old = np.load(path) if os.path.exists(path) else None
-        np.save(path, img)
-        if old is not None and old.shape == img.shape:
-            d = np.abs(old - img).max(axis=2)
-            print(f"{name}: {int((d > 1e-9).sum())} px changed, "
-                  f"max {d.max():.3e}")
-        else:
-            print(f"{name}: written")
+        _regen(name, width, depth, os.path.join(HERE, f"{name}.npy"))
+    for name in sorted(FULLWIDTH_SPECS):
+        _regen(name, FULLWIDTH_SPECS[name], 5,
+               os.path.join(HERE, f"{name}_w400.npy"))
 
 
 if __name__ == "__main__":

@@ -53,6 +53,20 @@ def test_golden(name):
     np.testing.assert_allclose(img, golden, atol=1e-9, rtol=0)
 
 
+# full default-width anchors: the reference's default render is 400x200
+# (src/main.rs:77); the tiny goldens above can't see sub-pixel-scale
+# regressions these can. f64 end-to-end, marked slow (CPU render ~minutes).
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["cow", "table"])
+def test_golden_default_width(name):
+    golden = np.load(os.path.join(GOLDEN, f"{name}_w400.npy"))
+    world, cam = REGISTRY[name](400)
+    scene = compile_scene(world, dtype=np.float64)
+    img = np.asarray(render(
+        scene, cam, RenderConfig(dtype="float64", ray_tile=512)))
+    np.testing.assert_allclose(img, golden, atol=1e-9, rtol=0)
+
+
 # --- f32 production path vs f64 conformance path, all registry scenes --------
 #
 # The bench runs f32; conformance runs f64. This pins the f32 path to the f64
