@@ -10,6 +10,11 @@ north-star target of 100M rays/s (BASELINE.json): vs_baseline = value / 1e8.
 Ray accounting: the wavefront integrator casts, per pixel, one closest-hit
 sweep + one shadow sweep per live bounce-tree node (cow scene: reflective
 material -> 2 nodes at budget 5 -> 4 sweeps/pixel).
+
+--scene=NAME benches another registry scene (teapot_smooth, glass_teapot,
+cow_herd, ...). --suite additionally benches the non-flagship rows
+(smooth / refractive / 523k-tri streaming) and prints each as a JSON line
+to STDERR, keeping the cow line as the single stdout metric.
 """
 
 import json
@@ -43,14 +48,26 @@ def check_kernel_parity(scene, cam, cfg) -> None:
         jnp.asarray(cam.transform_inverse, dtype), cam.hsize, cam.vsize,
         jnp.asarray(cam.half_width, dtype), jnp.asarray(cam.half_height, dtype),
         jnp.asarray(cam.pixel_size, dtype), dtype)
-    R = 10240
+    # keep the BRUTE-FORCE reference's dense (R, T) sweep under ~1 GB for
+    # huge scenes (the kernel side streams and would handle any R)
+    n_tris = max(int(scene.static.n_tris), 1)
+    R = min(10240, max(512, (250_000_000 // n_tris) // 512 * 512))
     step = max(1, o.shape[0] // R)
     o, d = o[::step][:R], d[::step][:R]
 
     t_k, i_k = integrator.mesh_closest(scene, o, d, cfg)
     cfg_bf = dataclasses.replace(cfg, mesh_impl="bruteforce")
-    t_b, i_b = integrator.mesh_closest(scene, o, d, cfg_bf)
-    t_k, i_k, t_b, i_b = map(np.asarray, (t_k, i_k, t_b, i_b))
+
+    # jit + chunk the dense (R, T) reference so XLA fuses the per-triangle
+    # intermediates (eager mode would materialize (R, T, 3) cross products —
+    # gigabytes for the 523k-triangle herd)
+    brute = jax.jit(lambda o, d: integrator.mesh_closest(scene, o, d, cfg_bf))
+    chunk = max(128, (50_000_000 // max(int(scene.static.n_tris), 1)) // 128 * 128)
+    parts = [brute(o[i:i + chunk], d[i:i + chunk])
+             for i in range(0, R, chunk)]
+    t_b = np.concatenate([np.asarray(p[0]) for p in parts])
+    i_b = np.concatenate([np.asarray(p[1]) for p in parts])
+    t_k, i_k = map(np.asarray, (t_k, i_k))
     from rtc_tpu.utils.constants import BIG
 
     hit_k, hit_b = t_k < BIG * 0.5, t_b < BIG * 0.5
@@ -70,14 +87,60 @@ def check_kernel_parity(scene, cam, cfg) -> None:
     point = o + d * t_safe[:, None]
     occ_k = integrator.is_shadowed(scene, point, cfg,
                                    live=jnp.asarray(hit_k))
-    occ_b = integrator.is_shadowed(scene, point, cfg_bf,
-                                   live=jnp.asarray(hit_k))
-    nd = int((np.asarray(occ_k) != np.asarray(occ_b)).sum())
+    occ_bf = jax.jit(lambda p, lv: integrator.is_shadowed(
+        scene, p, cfg_bf, live=lv))
+    live = jnp.asarray(hit_k)
+    occ_b = np.concatenate([
+        np.asarray(occ_bf(point[i:i + chunk], live[i:i + chunk]))
+        for i in range(0, R, chunk)])
+    nd = int((np.asarray(occ_k) != occ_b).sum())
     # silhouette knife-edges may still flip a whisker of rays
     assert nd <= max(2, R // 2048), f"occlusion parity: {nd} rays differ"
     print(f"kernel parity ok on {jax.devices()[0].device_kind}: "
           f"max |dt|={float(dt.max()) if dt.size else 0.0:.2e}, "
           f"occlusion diffs={nd}/{R}", file=sys.stderr)
+
+
+SUITE_SCENES = ("teapot_smooth", "glass_teapot", "cow_herd")
+
+
+def bench_scene(scene_name: str, width: int, tile: int, parity: bool) -> dict:
+    """Compile + time one scene; returns the metric dict."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtc_tpu.models.scenes import REGISTRY
+    from rtc_tpu.render.renderer import render
+    from rtc_tpu.scene.compile import compile_scene
+    from rtc_tpu.utils.config import RenderConfig
+    from rtc_tpu.utils.profiling import rays_per_pixel
+
+    world, cam = REGISTRY[scene_name](width)
+    cfg = RenderConfig(dtype="float32", ray_tile=tile)
+    scene = compile_scene(world, dtype=cfg.jnp_dtype())
+
+    def run():
+        return jnp.sum(render(scene, cam, cfg))
+
+    float(run())
+    if parity:
+        check_kernel_parity(scene, cam, cfg)
+    iters = 5
+    t0 = time.perf_counter()
+    acc = [run() for _ in range(iters)]
+    float(acc[-1])
+    wall = (time.perf_counter() - t0) / iters
+    n_pix = cam.hsize * cam.vsize
+    casts = n_pix * rays_per_pixel(
+        cfg.max_depth, scene.static.any_reflective, scene.static.any_refractive)
+    rays_per_s = casts / wall
+    return {
+        "metric": f"rays/s ({scene_name} {cam.hsize}x{cam.vsize}, depth 5, "
+                  f"f32, {jax.devices()[0].device_kind})",
+        "value": round(rays_per_s),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / 1e8, 4),
+    }
 
 
 def main() -> int:
@@ -88,22 +151,8 @@ def main() -> int:
         if a.startswith("--scene="):
             scene_name = a.split("=", 1)[1]
 
-    import jax
-
     from rtc_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
-
-    from rtc_tpu.models.scenes import REGISTRY
-    from rtc_tpu.render.renderer import render
-    from rtc_tpu.scene.compile import compile_scene
-    from rtc_tpu.utils.config import RenderConfig
-    from rtc_tpu.utils.profiling import rays_per_pixel
-
-    import jax.numpy as jnp
-
-    from rtc_tpu.render import integrator
-
-    world, cam = REGISTRY[scene_name](width)
 
     # ray-tile 8192 measures fastest on the v5 lite chip: big tiles lose
     # more to shading-stage HBM residency than they save in lax.map steps
@@ -112,40 +161,15 @@ def main() -> int:
     for a in sys.argv[1:]:
         if a.startswith("--tile="):
             tile = int(a.split("=", 1)[1])
+    parity = "--no-parity" not in sys.argv
 
-    cfg = RenderConfig(dtype="float32", ray_tile=tile)
-    scene = compile_scene(world, dtype=cfg.jnp_dtype())
-
-    import jax.numpy as jnp
-
-    def run():
-        # reduce to a scalar on device; fetched once after the timing loop so
-        # the remote-attached backend's ~27 ms host round-trip latency is not
-        # charged per frame (device executes enqueued programs back-to-back)
-        return jnp.sum(render(scene, cam, cfg))
-
-    float(run())  # compile + warmup
-    if "--no-parity" not in sys.argv:
-        check_kernel_parity(scene, cam, cfg)
-
-    iters = 5
-    t0 = time.perf_counter()
-    acc = [run() for _ in range(iters)]
-    float(acc[-1])  # one synchronizing fetch; forces the whole queue
-    wall = (time.perf_counter() - t0) / iters
-
-    n_pix = cam.hsize * cam.vsize
-    casts = n_pix * rays_per_pixel(
-        cfg.max_depth, scene.static.any_reflective, scene.static.any_refractive)
-    rays_per_s = casts / wall
-
-    print(json.dumps({
-        "metric": f"rays/s ({scene_name} {cam.hsize}x{cam.vsize}, depth 5, f32, "
-                  f"{jax.devices()[0].device_kind})",
-        "value": round(rays_per_s),
-        "unit": "rays/s",
-        "vs_baseline": round(rays_per_s / 1e8, 4),
-    }))
+    row = bench_scene(scene_name, width, tile, parity)
+    if "--suite" in sys.argv:
+        for extra in SUITE_SCENES:
+            if extra != scene_name:
+                print(json.dumps(bench_scene(extra, width, tile, False)),
+                      file=sys.stderr, flush=True)
+    print(json.dumps(row))
     return 0
 
 

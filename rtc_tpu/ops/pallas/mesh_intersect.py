@@ -226,6 +226,11 @@ def _anyhit_kernel(o_ref, d_ref, maxt_ref, p1_ref, e1_ref, e2_ref, aabb_ref,
 # ---------------------------------------------------------------------------
 
 _HIGHEST = jax.lax.Precision.HIGHEST
+# MT pair-test matmul precision. Full f32: measured FASTER than the 1-pass
+# bf16 DEFAULT (75.1M vs 79.6M rays/s cow 1080p) — the pair-test dot is
+# K=10, so MXU passes are not the bottleneck, and bf16 t values perturb the
+# traversal's early exits. (Precision.HIGH is unsupported by Mosaic.)
+_MT_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def _tri_features(p1, e1, e2, leaf: int):
@@ -315,7 +320,7 @@ def _mt_cluster_mxu(rayf, feat_ref, c, leaf: int, eps: float,
     w = jax.lax.dot_general(
         rayf, feat_ref[:, s],
         dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=_HIGHEST,
+        precision=_MT_PRECISION,
         preferred_element_type=jnp.float32,
     )                                           # (RT, 4L)
     det = w[:, 0 * leaf:1 * leaf]
@@ -373,25 +378,10 @@ def _kernel_mxu(rayf_ref, *refs, leaf: int, eps: float, with_n: bool,
         c = jnp.min(jnp.where(work == m, lanes2, jnp.int32(2**30)))
         return m, c, jnp.where(lanes2 == c, big, work)
 
-    # the loop carries the NEXT selection (m, c) and the running max of
-    # t_best: cond is then pure carried scalars, and the body issues the
-    # next pop's cross-lane reduction chain BEFORE this cluster's MT vector
-    # work so the VLIW pipeline overlaps the two (4 serialized reduces per
-    # visit -> ~1 exposed)
-    def cond(carry):
-        m, t_max = carry[1], carry[3]
-        # ordered early exit: every ray already has a hit at or before the
-        # nearest remaining cluster's entry point
-        return (m < big) & (t_max > m)
-
-    def body(carry):
-        if with_n:
-            work, m, c, t_max, t_best, idx_best, nx, ny, nz = carry
-        elif with_uv:
-            work, m, c, t_max, t_best, idx_best, ub, vb = carry
-        else:
-            work, m, c, t_max, t_best, idx_best = carry
-        m_next, c_next, work = pop(work)
+    def visit(c, gate, t_best, idx_best, payload):
+        """Test cluster c against the tile and fold the winners into the
+        running state. gate=False turns the visit into a no-op (used for the
+        possibly-empty second slot of a paired iteration)."""
         mt = _mt_cluster_mxu(rayf, feat_ref, c, leaf, eps, with_uv=with_uv)
         t, ok = mt[0], mt[1]
         tt = jnp.where(ok, t, big)
@@ -399,31 +389,51 @@ def _kernel_mxu(rayf_ref, *refs, leaf: int, eps: float, with_n: bool,
         lane = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1)
         local = jnp.min(
             jnp.where(tt <= tmin_c[:, None], lane, jnp.int32(2**30)), axis=1)
-        better = tmin_c < t_best
+        better = (tmin_c < t_best) & gate
         if with_n:
             onehot = lane == local[:, None]      # (RT, L)
             s = pl.ds(pl.multiple_of(c * leaf, leaf), leaf)
             sel_x = jnp.sum(jnp.where(onehot, nrm_ref[0, s][None, :], 0.0), axis=1)
             sel_y = jnp.sum(jnp.where(onehot, nrm_ref[1, s][None, :], 0.0), axis=1)
             sel_z = jnp.sum(jnp.where(onehot, nrm_ref[2, s][None, :], 0.0), axis=1)
-            nx = jnp.where(better, sel_x, nx)
-            ny = jnp.where(better, sel_y, ny)
-            nz = jnp.where(better, sel_z, nz)
+            payload = tuple(jnp.where(better, sel, prev) for sel, prev in
+                            zip((sel_x, sel_y, sel_z), payload))
         if with_uv:
             onehot = lane == local[:, None]      # (RT, L)
             sel_u = jnp.sum(jnp.where(onehot, mt[2], 0.0), axis=1)
             sel_v = jnp.sum(jnp.where(onehot, mt[3], 0.0), axis=1)
-            ub = jnp.where(better, sel_u, ub)
-            vb = jnp.where(better, sel_v, vb)
+            payload = tuple(jnp.where(better, sel, prev) for sel, prev in
+                            zip((sel_u, sel_v), payload))
         t_best = jnp.where(better, tmin_c, t_best)
-        t_max = jnp.max(t_best)
         idx_best = jnp.where(
             better, (c * leaf + local).astype(jnp.int32), idx_best)
-        if with_n:
-            return work, m_next, c_next, t_max, t_best, idx_best, nx, ny, nz
-        if with_uv:
-            return work, m_next, c_next, t_max, t_best, idx_best, ub, vb
-        return work, m_next, c_next, t_max, t_best, idx_best
+        return t_best, idx_best, payload
+
+    # the loop carries the NEXT selection (m, c) and the running max of
+    # t_best: cond is pure carried scalars, and each body issues the pops'
+    # cross-lane reduction chains interleaved with TWO clusters' MT vector
+    # work — pairing visits amortizes the while_loop's iteration barrier
+    # (Mosaic can't software-pipeline across iterations) over twice the
+    # work. The second slot may be empty (odd visit counts / early exit
+    # granularity): it is gated to a no-op, costing one wasted MT at most.
+    def cond(carry):
+        m, t_max = carry[1], carry[3]
+        # ordered early exit: every ray already has a hit at or before the
+        # nearest remaining cluster's entry point
+        return (m < big) & (t_max > m)
+
+    def body(carry):
+        work, m, c, t_max, t_best, idx_best = carry[:6]
+        payload = carry[6:]
+        m2, c2, work = pop(work)
+        m_next, c_next, work = pop(work)
+        t_best, idx_best, payload = visit(
+            c, jnp.bool_(True), t_best, idx_best, payload)
+        gate2 = (m2 < big) & (t_max > m2)
+        c2 = jnp.where(gate2, c2, 0)             # keep the ds slice in range
+        t_best, idx_best, payload = visit(c2, gate2, t_best, idx_best, payload)
+        t_max = jnp.max(t_best)
+        return (work, m_next, c_next, t_max, t_best, idx_best) + payload
 
     m0, c0, work0 = pop(entry)
     init = (work0, m0, c0, big,
@@ -453,7 +463,7 @@ def _mt_cluster_mxu_signed(rayf, feat_ref, c, leaf: int, eps: float):
     w = jax.lax.dot_general(
         rayf, feat_ref[:, s],
         dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=_HIGHEST,
+        precision=_MT_PRECISION,
         preferred_element_type=jnp.float32,
     )
     det = w[:, 0 * leaf:1 * leaf]

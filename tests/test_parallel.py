@@ -16,11 +16,12 @@ from rtc_tpu.utils.config import RenderConfig
 CFG = RenderConfig(ray_tile=1024, dtype="float32")
 
 
-def assert_images_match(actual, expected, atol=1e-5, outlier_frac=0.02):
+def assert_images_match(actual, expected, atol=1e-5, outlier_frac=0.002):
     """Golden-image comparison tolerating a small fraction of knife-edge
     pixels: scenes with checker patterns on y=0 planes flip floor() parity on
     1-ulp differences, so different-but-valid XLA fusions legitimately
-    disagree on isolated boundary pixels."""
+    disagree on isolated boundary pixels. Measured: mesh scenes are exact to
+    ~1 ulp under sharding; only three_spheres shows ~0.1% parity pixels."""
     diff = np.max(np.abs(np.asarray(actual) - np.asarray(expected)), axis=-1)
     frac = float((diff > atol).mean())
     assert frac <= outlier_frac, f"{frac:.2%} of pixels differ by > {atol}"
