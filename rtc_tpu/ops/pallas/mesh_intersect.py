@@ -226,8 +226,8 @@ def _anyhit_kernel(o_ref, d_ref, maxt_ref, p1_ref, e1_ref, e2_ref, aabb_ref,
 # ---------------------------------------------------------------------------
 
 _HIGHEST = jax.lax.Precision.HIGHEST
-# MT pair-test matmul precision. Full f32: measured FASTER than the 1-pass
-# bf16 DEFAULT (75.1M vs 79.6M rays/s cow 1080p) — the pair-test dot is
+# MT pair-test matmul precision. Full f32: measured FASTER (79.6M rays/s
+# cow 1080p) than the 1-pass bf16 DEFAULT (75.1M) — the pair-test dot is
 # K=10, so MXU passes are not the bottleneck, and bf16 t values perturb the
 # traversal's early exits. (Precision.HIGH is unsupported by Mosaic.)
 _MT_PRECISION = jax.lax.Precision.HIGHEST
@@ -933,7 +933,13 @@ def mesh_any_hit_pallas(o, d, max_t, tri_p1, tri_e1, tri_e2, cluster_aabb,
                         super_width: int = 8, ray_tile: int = 256,
                         eps: float = EPSILON, interpret: bool = False):
     """Occlusion query: True where some triangle lies in [0, max_t) along the
-    ray. o/d: (R, 3); max_t: (R,)."""
+    ray. o/d: (R, 3); max_t: (R,).
+
+    DEBUG/VALIDATION BACKEND (elementwise VPU kernel, static 3-level
+    hierarchy): kept as an independent implementation for cross-checking the
+    production 'mxu' path. It has no in-kernel schedule, no payload outputs,
+    no superblock streaming, and no primitive-sharding support (the
+    integrator refuses rather than substituting another backend)."""
     R = o.shape[0]
     rt = min(ray_tile, max(R, 128))
     pad = (-R) % rt
@@ -988,6 +994,11 @@ def mesh_closest_hit_pallas(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
 
     o/d: (R, 3) f32. tri_*: (T, 3) f32 with T == n_clusters * leaf.
     cluster_aabb: (C, 6). Returns (t (R,), idx (R,)); idx == -1 for miss.
+
+    DEBUG/VALIDATION BACKEND — see mesh_any_hit_pallas. The production path
+    is mesh_closest_hit_mxu (matmul-form MT + in-kernel schedule + payload
+    selection + HBM streaming); this kernel exists to cross-check it with an
+    independently-structured implementation (tests/test_pallas_mesh.py).
     """
     R = o.shape[0]
     rt = min(ray_tile, max(R, 128))

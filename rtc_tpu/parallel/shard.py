@@ -24,7 +24,7 @@ from ..render.camera import Camera, camera_rays
 from ..scene.compile import Scene
 from ..utils.config import DEFAULT_CONFIG, RenderConfig
 
-_TRI_FIELDS = ("tri_p1", "tri_e1", "tri_e2", "tri_n", "tri_obj",
+_TRI_FIELDS = ("tri_p1", "tri_e1", "tri_e2", "tri_n", "tri_obj", "tri_cid",
                "tri_sn1", "tri_sn2", "tri_sn3")
 
 
@@ -80,7 +80,9 @@ def pad_tris(scene: Scene, multiple: int) -> Scene:
             if arr.shape[0] != n:
                 continue
             widths = [(0, cpad * leaf)] + [(0, 0)] * (arr.ndim - 1)
-            repl[name] = jnp.pad(arr, widths)
+            # tri_cid pads with -1 (0 is a valid container slot)
+            repl[name] = jnp.pad(arr, widths,
+                                 constant_values=-1 if name == "tri_cid" else 0)
         static = scene.static._replace(
             n_tris=n + cpad * leaf,
             n_clusters=n_c + cpad,
@@ -96,7 +98,8 @@ def pad_tris(scene: Scene, multiple: int) -> Scene:
         if arr.shape[0] != n:  # e.g. empty smooth-normal slabs
             continue
         widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
-        repl[name] = jnp.pad(arr, widths)
+        repl[name] = jnp.pad(arr, widths,
+                             constant_values=-1 if name == "tri_cid" else 0)
     static = scene.static._replace(n_tris=n + pad)
     return dataclasses.replace(scene, **repl, static=static)
 

@@ -98,13 +98,16 @@ def prim_candidates(scene: Scene, o, d, eps, ids=None):
     return t, v
 
 
-def tri_candidates(scene: Scene, o, d, eps):
-    """Brute-force ray x triangle sweep: (R, T) t + valid."""
-    t, valid, _, _ = intersect.triangle(
+def tri_candidates(scene: Scene, o, d, eps, with_uv: bool = False):
+    """Brute-force ray x triangle sweep: (R, T) t + valid (+ barycentric
+    u, v when with_uv)."""
+    t, valid, u, v = intersect.triangle(
         o[:, None, :], d[:, None, :],
         scene.tri_p1[None, :, :], scene.tri_e1[None, :, :], scene.tri_e2[None, :, :],
         eps,
     )
+    if with_uv:
+        return t, valid, u, v
     return t, valid
 
 
@@ -254,10 +257,13 @@ def _resolve_mesh_impl(scene: Scene, cfg: RenderConfig, dtype) -> str:
     if impl in _KERNEL_IMPLS and not scene.static.n_clusters:
         impl = "bruteforce"
     if impl.startswith("pallas") and cfg.prim_axis is not None:
-        # the elementwise kernel's supercluster grouping assumes the global
-        # cluster table; under primitive sharding use mxu (schedule is built
-        # from the local cluster table) or the brute-force sweep
-        impl = "bruteforce"
+        # the elementwise debug kernel's supercluster grouping assumes the
+        # global cluster table; refusing beats silently rendering on a
+        # different backend than the one requested
+        raise ValueError(
+            "mesh_impl='pallas' does not support primitive sharding; use "
+            "'mxu' (in-kernel schedule over the local cluster table) or "
+            "'bruteforce'")
     return impl
 
 
@@ -411,11 +417,17 @@ class Intersections(NamedTuple):
     reference's World::intersect -> Intersections public API
     (src/world.rs:43-54, src/intersection.rs:86): fixed-capacity (R, K)
     buffers sorted ascending by t, INCLUDING negative ts (the reference's Vec
-    keeps them; only hit() filters, src/intersection.rs:79-84)."""
+    keeps them; only hit() filters, src/intersection.rs:79-84).
+
+    u/v carry the barycentric coordinates of triangle intersections (0.0 on
+    analytic-prim slots) — the smooth-triangle payload the reference stubs
+    out in its commented-out book tests (src/intersection.rs:381-386)."""
 
     t: jnp.ndarray      # (R, K)
     obj: jnp.ndarray    # (R, K) i32 object ids (clamped where invalid)
     valid: jnp.ndarray  # (R, K) bool
+    u: jnp.ndarray = None  # (R, K) barycentric u (0 for non-triangle slots)
+    v: jnp.ndarray = None  # (R, K) barycentric v (0 for non-triangle slots)
 
 
 def intersect_all(scene: Scene, o, d, cfg: RenderConfig,
@@ -431,22 +443,30 @@ def intersect_all(scene: Scene, o, d, cfg: RenderConfig,
     """
     st = scene.static
     R = o.shape[0]
-    parts_t, parts_v, parts_obj = [], [], []
+    parts_t, parts_v, parts_obj, parts_u, parts_w = [], [], [], [], []
     if st.n_prims:
         t, v = prim_candidates(scene, o, d, cfg.epsilon)      # (R, N, 4)
         parts_t.append(t.reshape(R, -1))
         parts_v.append(v.reshape(R, -1))
         parts_obj.append(jnp.repeat(scene.prim_obj, 4))
+        parts_u.append(jnp.zeros((R, 4 * st.n_prims), t.dtype))
+        parts_w.append(jnp.zeros((R, 4 * st.n_prims), t.dtype))
     if st.n_tris:
-        t, v = tri_candidates(scene, o, d, cfg.epsilon)       # (R, T)
+        t, v, bu, bv = tri_candidates(scene, o, d, cfg.epsilon,
+                                      with_uv=True)           # (R, T)
         parts_t.append(t)
         parts_v.append(v)
         parts_obj.append(scene.tri_obj)
+        parts_u.append(bu)
+        parts_w.append(bv)
     if not parts_t:
         z = jnp.zeros((R, 0))
-        return Intersections(t=z, obj=z.astype(jnp.int32), valid=z.astype(bool))
+        return Intersections(t=z, obj=z.astype(jnp.int32),
+                             valid=z.astype(bool), u=z, v=z)
     t = jnp.concatenate(parts_t, axis=1)
     v = jnp.concatenate(parts_v, axis=1)
+    u_all = jnp.concatenate(parts_u, axis=1)
+    v_all = jnp.concatenate(parts_w, axis=1)
     cols = jnp.concatenate(parts_obj)
     n_cand = t.shape[1]
     kk = n_cand if k is None else min(k, n_cand)
@@ -455,8 +475,11 @@ def intersect_all(scene: Scene, o, d, cfg: RenderConfig,
     # lower candidate column, matching the reference's stable sort over the
     # object-insertion order (src/world.rs:51)
     neg, idx = _jax.lax.top_k(-tt, kk)
+    sel = lambda a: jnp.take_along_axis(a, idx, axis=1)
+    zero_uv = lambda a: jnp.where((-neg) < BIG * 0.5, a, 0.0)
     return Intersections(
-        t=-neg, obj=cols[idx], valid=(-neg) < BIG * 0.5)
+        t=-neg, obj=cols[idx], valid=(-neg) < BIG * 0.5,
+        u=zero_uv(sel(u_all)), v=zero_uv(sel(v_all)))
 
 
 def hit_index(xs: Intersections):
@@ -612,10 +635,13 @@ def refraction_indices(scene: Scene, o, d, hit: HitInfo, cfg: RenderConfig,
     container slabs (Scene.refr_tri_*), so a closed transparent mesh acts as
     an n1/n2 container exactly like a glass sphere.
 
-    Deviation (documented in ARCHITECTURE.md): only objects with ior != 1 or
-    transparency > 0 participate as containers. Objects with ior == 1.0
-    contribute the default 1.0 in the reference, so values agree except in
-    the degenerate shading-from-inside-an-opaque-object case.
+    Deviation (documented in ARCHITECTURE.md): by default only objects with
+    ior != 1 or transparency > 0 participate as containers. Objects with
+    ior == 1.0 contribute the default 1.0 in the reference, so values agree
+    except in the degenerate shading-from-inside-an-opaque-object case.
+    compile_scene(containers="all") reproduces the reference's every-object
+    walk exactly (src/intersection.rs:29-62) by widening the static
+    container sets.
 
     live: optional (R,) bool — rays whose shading never reads n1/n2 (e.g.
     the hit material has transparency == 0, so neither the Snell child nor
@@ -653,9 +679,6 @@ def refraction_indices(scene: Scene, o, d, hit: HitInfo, cfg: RenderConfig,
             from ..ops.pallas.mesh_intersect import mesh_crossing_count_mxu
 
             sg = jax.lax.stop_gradient
-            tri_cid = jnp.full(scene.tri_obj.shape, -1, jnp.int32)
-            for k, oid in enumerate(mesh_ids):
-                tri_cid = jnp.where(scene.tri_obj == oid, k, tri_cid)
             t_census = hit.t
             if live is not None:
                 # dead lanes: census bound -BIG -> zero clusters scheduled
@@ -663,7 +686,7 @@ def refraction_indices(scene: Scene, o, d, hit: HitInfo, cfg: RenderConfig,
             cnt_m, last_m = mesh_crossing_count_mxu(
                 sg(o), sg(d), sg(t_census), hit_gid,
                 sg(scene.tri_p1), sg(scene.tri_e1), sg(scene.tri_e2),
-                sg(scene.cluster_aabb), tri_cid,
+                sg(scene.cluster_aabb), scene.tri_cid,
                 n_containers=len(mesh_ids), leaf=scene.static.cluster_size,
                 ray_tile=min(512, max(128, R)), eps=cfg.epsilon,
                 interpret=impl.endswith("_interpret"))
@@ -705,7 +728,15 @@ def refraction_indices(scene: Scene, o, d, hit: HitInfo, cfg: RenderConfig,
 
 
 class Comps(NamedTuple):
-    """prepare_computations equivalent (reference: src/intersection.rs:17-77)."""
+    """prepare_computations equivalent (reference: src/intersection.rs:17-77).
+
+    INVARIANT: n1/n2 are real refractive indices only for rays that were
+    live in the census (prepare_hit called with need_refraction=True and the
+    ray in refraction_live); everywhere else they are silent 1.0/material
+    dummies. The integrator guarantees nothing reads them in those cases
+    (the Snell child and the Schlick blend exist only when the node can
+    branch AND the hit material is transparent, src/world.rs:71-77,132-134);
+    a new consumer of Comps.n1/n2 must re-establish this for itself."""
 
     point: jnp.ndarray
     eyev: jnp.ndarray

@@ -80,6 +80,12 @@ class Scene:
     tri_e2: jnp.ndarray      # (T, 3)
     tri_n: jnp.ndarray       # (T, 3) unit world normals (flat/face)
     tri_obj: jnp.ndarray     # (T,) i32 object ids
+    # per-triangle container slot for the n1/n2 census: index into
+    # static.refr_mesh_obj_ids, -1 = not a container triangle. Static per
+    # scene, precomputed here so the crossing-count kernel wrapper never
+    # rebuilds it per bounce node (it used to cost O(K*T) jnp.where work
+    # per transparent sweep).
+    tri_cid: jnp.ndarray     # (T,) i32
     # per-corner smooth normals ((0,3) when the scene has none); rows of
     # flat-shaded meshes carry the face normal so interpolation is a no-op
     tri_sn1: jnp.ndarray     # (T, 3)
@@ -256,7 +262,23 @@ def _flatten(world: World):
     return leaves
 
 
-def compile_scene(world: World, dtype=jnp.float32, cluster_size: int = 128) -> Scene:
+def compile_scene(world: World, dtype=jnp.float32, cluster_size: int = 128,
+                  containers: str = "refractive") -> Scene:
+    """containers selects the n1/n2 census membership rule:
+
+      * "refractive" (default): only objects with ior != 1 or transparency
+        > 0 join the containers census. Values match the reference except in
+        the degenerate shading-while-inside-an-opaque-ior-1-object case
+        (such objects contribute n = 1.0 either way almost everywhere).
+      * "all": EVERY object is a container, bit-matching the reference's
+        walk over the full intersection list
+        (/root/reference/src/intersection.rs:29-62) — a ray inside a glass
+        sphere that then enters an opaque ior == 1 object sees n1 = 1.0
+        (the opaque object is the latest container), not 1.5.
+    """
+    if containers not in ("refractive", "all"):
+        raise ValueError(f"containers must be 'refractive' or 'all', "
+                         f"got {containers!r}")
     dtype = jnp.dtype(dtype)
     leaves = _flatten(world)
     prims = [s for s in leaves if s.kind in KIND_CODES]
@@ -386,11 +408,12 @@ def compile_scene(world: World, dtype=jnp.float32, cluster_size: int = 128) -> S
             pat_b[i] = p.b
             pat_inv[i] = (np.linalg.inv(p.transform) @ obj_inv)[:3, :4]
 
+    def _is_container(m) -> bool:
+        return (containers == "all" or m.transparency > 0.0
+                or m.refractive_index != 1.0)
+
     refr_ids = tuple(
-        int(i)
-        for i, s in enumerate(prims)
-        if s.material.transparency > 0.0 or s.material.refractive_index != 1.0
-    )
+        int(i) for i, s in enumerate(prims) if _is_container(s.material))
 
     # refractive mesh containers: compact per-object triangle slabs (rows are
     # gathered AFTER Morton clustering so refr_tri_gid indexes the final
@@ -398,7 +421,7 @@ def compile_scene(world: World, dtype=jnp.float32, cluster_size: int = 128) -> S
     refr_mesh_ids = tuple(
         int(n_prims + li)
         for li, s in enumerate(tri_leaves)
-        if s.material.transparency > 0.0 or s.material.refractive_index != 1.0
+        if _is_container(s.material)
     )
     if refr_mesh_ids and n_tris:
         # padding rows have zero edges; a real triangle always has a nonzero
@@ -421,6 +444,16 @@ def compile_scene(world: World, dtype=jnp.float32, cluster_size: int = 128) -> S
         refr_mesh_ids = ()
         refr_tri_p1 = refr_tri_e1 = refr_tri_e2 = np.zeros((0, 0, 3))
         refr_tri_gid = np.zeros((0, 0), dtype=np.int32)
+
+    # per-triangle container slot (static per scene): -1 for non-container
+    # and for padding rows (degenerate triangles would never be counted, but
+    # keeping them -1 also keeps all-padding clusters out of the census
+    # kernel's traversal schedule)
+    tri_cid = np.full((n_tris,), -1, dtype=np.int32)
+    if refr_mesh_ids:
+        real_tri = (np.abs(tri_e1).sum(axis=1) > 0) | (np.abs(tri_e2).sum(axis=1) > 0)
+        for k, oid in enumerate(refr_mesh_ids):
+            tri_cid[(tri_obj == oid) & real_tri] = k
 
     static = SceneStatic(
         n_prims=n_prims,
@@ -451,6 +484,7 @@ def compile_scene(world: World, dtype=jnp.float32, cluster_size: int = 128) -> S
         tri_e2=f(tri_e2),
         tri_n=f(tri_n),
         tri_obj=i32(tri_obj),
+        tri_cid=i32(tri_cid),
         tri_sn1=f(tri_sn[0]),
         tri_sn2=f(tri_sn[1]),
         tri_sn3=f(tri_sn[2]),

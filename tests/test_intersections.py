@@ -244,3 +244,134 @@ def test_intersect_all_keeps_negative_ts():
     v = np.asarray(xs.valid[0])
     assert_almost_eq(np.asarray(xs.t[0])[v], [-1.0, 1.0])
     assert int(np.asarray(hit_index(xs))[0]) == 1
+
+
+# --- barycentric u/v on the public list (src/intersection.rs:381-386) --------
+#
+# The reference's smooth-triangle u/v support is a commented-out stub; the
+# book tests it pins are implemented here through the public API.
+
+
+def test_intersect_all_surfaces_triangle_uv():
+    """an_intersection_with_a_smooth_triangle_stores_u_v (the book test the
+    reference comments out, src/intersection.rs:381-386): ray (-0.2, 0.3, -2)
+    -> +z over triangle (0,1,0)/(-1,0,0)/(1,0,0) carries u=0.45, v=0.25."""
+    from rtc_tpu import intersect_all
+    from rtc_tpu.scene.shapes import triangle
+    from rtc_tpu.utils.config import RenderConfig
+
+    tri = triangle([0, 1, 0], [-1, 0, 0], [1, 0, 0])
+    scene = compile_scene(World(objects=[tri]), dtype=jnp.float64)
+    cfg = RenderConfig(dtype="float64")
+    o = jnp.asarray([[-0.2, 0.3, -2.0]], jnp.float64)
+    d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float64)
+    xs = intersect_all(scene, o, d, cfg)
+    i = int(np.asarray(integrator.hit_index(xs))[0])
+    assert i >= 0
+    assert_almost_eq(float(xs.u[0, i]), 0.45)
+    assert_almost_eq(float(xs.v[0, i]), 0.25)
+
+
+def test_intersect_all_uv_zero_on_analytic_prims():
+    """Mixed scene: the sphere's slots carry u = v = 0; the triangle's slot
+    carries its barycentric coordinates."""
+    from rtc_tpu import intersect_all
+    from rtc_tpu.scene.shapes import sphere, triangle
+    from rtc_tpu.ops import transforms as X
+    from rtc_tpu.utils.config import RenderConfig
+
+    tri = triangle([-1, -1, 1], [1, -1, 1], [0, 1, 1])
+    s = sphere(transform=X.translation(0, 0, 4))
+    scene = compile_scene(World(objects=[s, tri]), dtype=jnp.float64)
+    cfg = RenderConfig(dtype="float64")
+    o = jnp.asarray([[0.0, -0.5, -2.0]], jnp.float64)
+    d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float64)
+    xs = intersect_all(scene, o, d, cfg)
+    v = np.asarray(xs.valid[0])
+    objs = np.asarray(xs.obj[0])[v]
+    us = np.asarray(xs.u[0])[v]
+    vs = np.asarray(xs.v[0])[v]
+    # triangle rows carry real barycentrics; sphere rows are exactly zero
+    tri_rows = objs == 1
+    assert tri_rows.any() and (~tri_rows).any()
+    assert (us[~tri_rows] == 0.0).all() and (vs[~tri_rows] == 0.0).all()
+    # hit point (0, -0.5, 1): p1=(-1,-1,1) e1=(2,0,0) e2=(1,2,0)
+    # -> u + v weights reproduce the point
+    assert (us[tri_rows] > 0).all() and (vs[tri_rows] > 0).all()
+    p = np.array([-1.0, -1.0, 1.0]) + us[tri_rows][0] * np.array([2.0, 0, 0]) \
+        + vs[tri_rows][0] * np.array([1.0, 2.0, 0])
+    assert_almost_eq(p, [0.0, -0.5, 1.0])
+
+
+# --- strict-reference containers mode (src/intersection.rs:29-62) ------------
+#
+# The reference's n1/n2 walk includes EVERY object in the containers census;
+# the default compile mode only enrolls refractive ones. The degenerate case
+# where they differ: a ray inside a glass sphere that has also entered an
+# opaque ior == 1 object.
+
+
+def _containers_fixture(mode):
+    from rtc_tpu.ops import transforms as X
+    from rtc_tpu.scene.materials import Material
+    from rtc_tpu.utils.config import RenderConfig
+
+    outer = S.sphere(transform=X.scaling(2, 2, 2))
+    outer.material = Material(transparency=1.0, refractive_index=1.5)
+    inner = S.sphere(transform=X.scaling(0.5, 0.5, 0.5))
+    inner.material = Material(transparency=0.0, refractive_index=1.0)
+    scene = compile_scene(World(objects=[outer, inner]), dtype=np.float64,
+                          containers=mode)
+    cfg = RenderConfig(dtype="float64")
+    o = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float64)
+    d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float64)
+    hit = integrator.closest_hit(scene, o, d, cfg)
+    assert_almost_eq(float(hit.t[0]), 0.5)        # inner sphere's far wall
+    n1, n2 = integrator.refraction_indices(scene, o, d, hit, cfg)
+    return float(n1[0]), float(n2[0])
+
+
+def test_containers_all_matches_reference_walk():
+    """Reference walk (src/intersection.rs:29-62) over the sorted list
+    [-2 outer, -0.5 inner, +0.5 inner(hit), +2 outer]: at the hit,
+    containers == [outer, inner] -> n1 = inner.ior = 1.0; toggling the hit
+    object leaves [outer] -> n2 = 1.5."""
+    assert _containers_fixture("all") == (1.0, 1.5)
+
+
+def test_containers_refractive_default_diverges_documented():
+    """Default mode: the opaque ior-1 inner sphere is not a container, so
+    n1 = 1.5 (still inside the glass) and n2 = the entered material's ior.
+    This is the documented deviation; 'all' restores reference semantics."""
+    assert _containers_fixture("refractive") == (1.5, 1.0)
+
+
+def test_containers_all_matches_default_on_refractive_only_scene():
+    """When every object is refractive the two modes are identical —
+    pinned on the book's glass-sphere-ladder scene values (n2 column of
+    src/intersection.rs:287-325)."""
+    import dataclasses
+
+    from rtc_tpu.ops import transforms as X
+    from rtc_tpu.scene.materials import Material
+    from rtc_tpu.utils.config import RenderConfig
+
+    def ladder(mode):
+        a = S.glass_sphere(transform=X.scaling(2, 2, 2))
+        a.material = dataclasses.replace(a.material, refractive_index=1.5)
+        b = S.glass_sphere(transform=X.translation(0, 0, -0.25))
+        b.material = dataclasses.replace(b.material, refractive_index=2.0)
+        c = S.glass_sphere(transform=X.translation(0, 0, 0.25))
+        c.material = dataclasses.replace(c.material, refractive_index=2.5)
+        return compile_scene(World(objects=[a, b, c]), dtype=np.float64,
+                             containers=mode)
+
+    cfg = RenderConfig(dtype="float64")
+    o = jnp.asarray([[0.0, 0.0, -4.0]], jnp.float64)
+    d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float64)
+    for mode in ("refractive", "all"):
+        scene = ladder(mode)
+        hit = integrator.closest_hit(scene, o, d, cfg)
+        n1, n2 = integrator.refraction_indices(scene, o, d, hit, cfg)
+        assert_almost_eq(float(n1[0]), 1.0)
+        assert_almost_eq(float(n2[0]), 1.5)
