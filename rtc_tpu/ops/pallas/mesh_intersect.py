@@ -262,7 +262,8 @@ def _ray_features(o, d):
         [d, jnp.cross(o, d), o, jnp.ones_like(o[:, :1])], axis=1)
 
 
-def _slab_entries(rayf_ref, aabb_ref, maxt=None, signed=False):
+def _slab_entries(rayf_ref, aabb_ref, maxt=None, signed=False,
+                  want_exit=False):
     """IN-KERNEL per-tile traversal schedule: every ray of the tile
     slab-tests every cluster ((rt, C) fused VPU ops on VMEM-resident
     operands — no HBM temporaries, unlike the former XLA-side schedule
@@ -279,6 +280,15 @@ def _slab_entries(rayf_ref, aabb_ref, maxt=None, signed=False):
     into each cluster, BIG where no ray overlaps. Empty padding clusters
     (lo > hi on any axis) are masked out explicitly — per-axis min/max of
     the slab ts would otherwise make an inverted box test like a normal one.
+
+    want_exit=True additionally returns exit (rt, 1) f32: each ray's LATEST
+    conservative exit t out of any overlapped cluster (-BIG for rays that
+    overlap nothing — parked/miss lanes). Any triangle hit must lie inside
+    some cluster's slab interval, so exit is a per-ray upper bound on every
+    achievable hit t; the closest-hit kernel seeds t_best from it so tiles
+    containing miss/parked rays can still take the ordered early exit
+    (otherwise those rays pin t_max at BIG and the tile visits every
+    overlapped cluster).
     """
     big = jnp.float32(BIG)
     tmin = None
@@ -307,7 +317,11 @@ def _slab_entries(rayf_ref, aabb_ref, maxt=None, signed=False):
     if maxt is not None:
         ov = ov & (tmin < maxt)
     entry_r = jnp.where(ov, tmin if signed else jnp.maximum(tmin, 0.0), big)
-    return jnp.min(entry_r, axis=0, keepdims=True)    # (1, C)
+    entry = jnp.min(entry_r, axis=0, keepdims=True)   # (1, C)
+    if want_exit:
+        exit_r = jnp.max(jnp.where(ov, tmax, -big), axis=1, keepdims=True)
+        return entry, exit_r                          # (1, C), (rt, 1)
+    return entry
 
 
 def _mt_cluster_mxu(rayf, feat_ref, c, leaf: int, eps: float,
@@ -340,7 +354,8 @@ def _mt_cluster_mxu(rayf, feat_ref, c, leaf: int, eps: float,
 
 
 def _kernel_mxu(rayf_ref, *refs, leaf: int, eps: float, with_n: bool,
-                with_uv: bool = False):
+                with_uv: bool = False, with_sn: bool = False,
+                with_t0: bool = False):
     """Closest hit over an in-kernel front-to-back cluster schedule.
 
     The tile's per-cluster entry ts are computed once up front
@@ -352,24 +367,50 @@ def _kernel_mxu(rayf_ref, *refs, leaf: int, eps: float, with_n: bool,
     exits as soon as every ray's best hit precedes the nearest remaining
     cluster's conservative entry t.
 
+    Per-ray t_best is SEEDED with the ray's conservative cluster-exit bound
+    (plus carried t0 when present): any achievable hit lies inside some
+    overlapped cluster's slab interval, so miss/parked lanes start with a
+    finite (or -BIG) bound instead of BIG and no longer pin t_max — tiles
+    containing sky pixels or parked secondary lanes now take the ordered
+    early exit too. Seeded lanes that win nothing report idx == -1 (their
+    t output is the seed; the jit wrapper masks it back to BIG).
+
+    with_t0=True prepends a (rt, 1) carried-bound input: clusters at or
+    beyond a ray's t0 are culled from its schedule and only hits strictly
+    before t0 win — the cross-superblock carry of the HBM streaming path.
+
     with_n=True additionally selects the winning triangle's payload (its
     unit world normal, nrm_ref rows) IN-KERNEL via the winner one-hot — an
     XLA-side (R,)-row gather costs ~5 ns/row on v5 lite (~10 ms/sweep at
     1080p), while the cluster's normal slab is already VMEM-resident here.
-    (Smooth meshes skip this: their shading normal is a 3-corner barycentric
-    blend done at the winner outside the kernel.)"""
-    if with_n:
-        feat_ref, nrm_ref, aabb_ref, t_ref, idx_ref, n_ref = refs
-    elif with_uv:
-        feat_ref, aabb_ref, t_ref, idx_ref, uv_ref = refs
-    else:
-        feat_ref, aabb_ref, t_ref, idx_ref = refs
+
+    with_sn=True (smooth meshes) blends the winner's three corner normals
+    with its barycentric (u, v) IN-KERNEL from a (9, T) corner-normal slab —
+    replacing the former XLA-side (R, 9) gather + separate uv JVP recompute.
+    with_uv=True returns the raw winner (u, v) instead (used when the
+    corner slabs don't fit VMEM — the streaming path)."""
+    refs = list(refs)
+    t0_ref = refs.pop(0) if with_t0 else None
+    feat_ref = refs.pop(0)
+    nrm_ref = refs.pop(0) if with_n else None
+    snc_ref = refs.pop(0) if with_sn else None
+    aabb_ref = refs.pop(0)
+    t_ref, idx_ref = refs.pop(0), refs.pop(0)
+    out_pay_ref = refs.pop(0) if (with_n or with_uv or with_sn) else None
     rayf = rayf_ref[:, :]                        # (RT, 10)
     big = jnp.float32(BIG)
     rt = rayf.shape[0]
-    entry = _slab_entries(rayf_ref, aabb_ref)    # (1, C)
+    maxt = t0_ref[:, :] if with_t0 else None
+    entry, exit_r = _slab_entries(rayf_ref, aabb_ref, maxt=maxt,
+                                  want_exit=True)
     C = entry.shape[1]
     lanes2 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    # seed margin: exit is a slab-test t, the hit a Möller-Trumbore t — the
+    # two round differently by a few ulps, so pad the bound before seeding
+    seed = exit_r[:, 0] * 1.00001 + 1e-4
+    if with_t0:
+        seed = jnp.minimum(seed, t0_ref[:, 0])
+    t_best0 = jnp.minimum(seed, big)
 
     def pop(work):
         """Nearest unvisited cluster; ties resolve to the lowest cluster id.
@@ -382,7 +423,8 @@ def _kernel_mxu(rayf_ref, *refs, leaf: int, eps: float, with_n: bool,
         """Test cluster c against the tile and fold the winners into the
         running state. gate=False turns the visit into a no-op (used for the
         possibly-empty second slot of a paired iteration)."""
-        mt = _mt_cluster_mxu(rayf, feat_ref, c, leaf, eps, with_uv=with_uv)
+        want_uv = with_uv or with_sn
+        mt = _mt_cluster_mxu(rayf, feat_ref, c, leaf, eps, with_uv=want_uv)
         t, ok = mt[0], mt[1]
         tt = jnp.where(ok, t, big)
         tmin_c = jnp.min(tt, axis=1)
@@ -398,6 +440,23 @@ def _kernel_mxu(rayf_ref, *refs, leaf: int, eps: float, with_n: bool,
             sel_z = jnp.sum(jnp.where(onehot, nrm_ref[2, s][None, :], 0.0), axis=1)
             payload = tuple(jnp.where(better, sel, prev) for sel, prev in
                             zip((sel_x, sel_y, sel_z), payload))
+        if with_sn:
+            # winner (u, v) + the 9 corner-normal components, blended here:
+            # n = (1-u-v) sn1 + u sn2 + v sn3 (normalized outside)
+            onehot = lane == local[:, None]      # (RT, L)
+            s = pl.ds(pl.multiple_of(c * leaf, leaf), leaf)
+            u = jnp.sum(jnp.where(onehot, mt[2], 0.0), axis=1)
+            v = jnp.sum(jnp.where(onehot, mt[3], 0.0), axis=1)
+            w0 = 1.0 - u - v
+            sel = []
+            for ax in range(3):
+                comp = (
+                    w0 * jnp.sum(jnp.where(onehot, snc_ref[ax, s][None, :], 0.0), axis=1)
+                    + u * jnp.sum(jnp.where(onehot, snc_ref[3 + ax, s][None, :], 0.0), axis=1)
+                    + v * jnp.sum(jnp.where(onehot, snc_ref[6 + ax, s][None, :], 0.0), axis=1))
+                sel.append(comp)
+            payload = tuple(jnp.where(better, s_new, prev) for s_new, prev in
+                            zip(sel, payload))
         if with_uv:
             onehot = lane == local[:, None]      # (RT, L)
             sel_u = jnp.sum(jnp.where(onehot, mt[2], 0.0), axis=1)
@@ -436,22 +495,22 @@ def _kernel_mxu(rayf_ref, *refs, leaf: int, eps: float, with_n: bool,
         return (work, m_next, c_next, t_max, t_best, idx_best) + payload
 
     m0, c0, work0 = pop(entry)
-    init = (work0, m0, c0, big,
-            jnp.full((rt,), big, jnp.float32),
+    init = (work0, m0, c0, jnp.max(t_best0),
+            t_best0,
             jnp.full((rt,), -1, jnp.int32))
-    if with_n or with_uv:
+    if with_n or with_uv or with_sn:
         z = jnp.zeros((rt,), jnp.float32)
-        init = init + ((z, z, z) if with_n else (z, z))
+        init = init + ((z, z) if with_uv else (z, z, z))
     out = jax.lax.while_loop(cond, body, init)
     t_ref[0, :] = out[4]
     idx_ref[0, :] = out[5]
-    if with_n:
-        n_ref[0, :] = out[6]
-        n_ref[1, :] = out[7]
-        n_ref[2, :] = out[8]
-    if with_uv:
-        uv_ref[0, :] = out[6]
-        uv_ref[1, :] = out[7]
+    if with_n or with_sn:
+        out_pay_ref[0, :] = out[6]
+        out_pay_ref[1, :] = out[7]
+        out_pay_ref[2, :] = out[8]
+    elif with_uv:
+        out_pay_ref[0, :] = out[6]
+        out_pay_ref[1, :] = out[7]
 
 
 def _mt_cluster_mxu_signed(rayf, feat_ref, c, leaf: int, eps: float):
@@ -546,12 +605,14 @@ def _crossing_kernel_mxu(rayf_ref, maxt_ref, hitgid_ref, feat_ref, cid_ref,
 def _anyhit_kernel_mxu(rayf_ref, maxt_ref, feat_ref, aabb_ref, hit_ref, *,
                        leaf: int, eps: float):
     """Occlusion query over the in-kernel cluster schedule; exits as soon
-    as every ray in the tile is occluded. Clusters entirely beyond every
-    ray's max_t are never scheduled (per-ray bound in the slab test)."""
+    as every LIVE ray in the tile is occluded. Clusters entirely beyond
+    every ray's max_t are never scheduled (per-ray bound in the slab test);
+    dead/parked lanes (max_t <= 0: they can never report a hit) are excluded
+    from the open-lane count so they cannot hold the loop open."""
     rayf = rayf_ref[:, :]
     maxt = maxt_ref[:, :]                        # (RT, 1)
     big = jnp.float32(BIG)
-    rt = rayf.shape[0]
+    active = (maxt[:, 0] > 0.0).astype(jnp.int32)
     entry = _slab_entries(rayf_ref, aabb_ref, maxt=maxt)
     C = entry.shape[1]
     lanes2 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
@@ -573,13 +634,15 @@ def _anyhit_kernel_mxu(rayf_ref, maxt_ref, feat_ref, aabb_ref, hit_ref, *,
         t, ok = _mt_cluster_mxu(rayf, feat_ref, c, leaf, eps)
         ok = ok & (t < maxt)
         found = found | jnp.any(ok, axis=1).astype(jnp.int32)
-        n_open = jnp.sum(1 - found, dtype=jnp.int32)
+        n_open = jnp.sum(active * (1 - found), dtype=jnp.int32)
         return work, m_next, c_next, n_open, found
 
     m0, c0, work0 = pop(entry)
+    rt = rayf.shape[0]
     out = jax.lax.while_loop(
         cond, body,
-        (work0, m0, c0, jnp.int32(rt), jnp.zeros((rt,), jnp.int32)))
+        (work0, m0, c0, jnp.sum(active, dtype=jnp.int32),
+         jnp.zeros((rt,), jnp.int32)))
     hit_ref[0, :] = out[4]
 
 
@@ -628,53 +691,96 @@ def _block_tables(p1, e1, e2, aabb, n_blocks: int, leaf: int, nrm=None,
             per_block, nb, cb)
 
 
+def _block_order(o, d, aabbb):
+    """Global front-to-back superblock order for a wavefront: per-block AABB
+    union, slab-test every ray, reduce to the earliest entry t any ray has
+    into each block, argsort. Parked rays (origin far outside) overlap
+    nothing and do not perturb the order. The streaming scan visits blocks
+    in this order so the carried per-ray t_best culls later blocks — the
+    cross-block extension of the in-kernel front-to-back cluster schedule
+    (and of the reference's hierarchy cull, src/shape.rs:399-436)."""
+    empty = jnp.any(aabbb[:, :, :3] > aabbb[:, :, 3:], axis=2)  # (B, Pb)
+    lo = jnp.min(jnp.where(empty[:, :, None], jnp.inf, aabbb[:, :, :3]),
+                 axis=1)                                        # (B, 3)
+    hi = jnp.max(jnp.where(empty[:, :, None], -jnp.inf, aabbb[:, :, 3:]),
+                 axis=1)
+    big = jnp.asarray(BIG, o.dtype)
+    near0 = jnp.abs(d) < 1e-30
+    inv = jnp.where(near0, jnp.where(d >= 0, big, -big),
+                    1.0 / jnp.where(near0, 1.0, d))
+    t1 = (lo[None, :, :] - o[:, None, :]) * inv[:, None, :]     # (R, B, 3)
+    t2 = (hi[None, :, :] - o[:, None, :]) * inv[:, None, :]
+    tmin = jnp.max(jnp.minimum(t1, t2), axis=2)                 # (R, B)
+    tmax = jnp.min(jnp.maximum(t1, t2), axis=2)
+    ov = (tmax >= tmin) & (tmax >= 0.0)
+    entry = jnp.min(jnp.where(ov, jnp.maximum(tmin, 0.0), big), axis=0)  # (B,)
+    return jnp.argsort(entry).astype(jnp.int32)
+
+
 def _closest_hit_blocked(o, d, p1, e1, e2, aabb, n_blocks: int, leaf: int,
                          ray_tile: int, eps: float, interpret: bool,
                          tri_n=None, want_uv: bool = False):
-    """HBM-streaming path: lax.map over cluster superblocks (each block's
-    feature slab fits VMEM), min-by-t combine across blocks."""
+    """HBM-streaming path: lax.scan over cluster superblocks in GLOBAL
+    front-to-back order with a carried per-ray t_best — block k's winners
+    become block k+1's strictly-before bound (kernel input t0), so every
+    later block's in-kernel schedule culls clusters at or beyond the carried
+    hit and whole blocks behind it reduce to their DMA + an empty schedule.
+    Each block's feature slab fits VMEM; geometry stays HBM-resident."""
     p1b, e1b, e2b, aabbb, per_block, nb, _ = _block_tables(
         p1, e1, e2, aabb, n_blocks, leaf, nrm=tri_n)
     empty_sup = jnp.zeros((0, 6), aabb.dtype)
     with_n = tri_n is not None
+    order = _block_order(o, d, aabbb)
+    R = o.shape[0]
 
-    def one(block):
-        bp1, be1, be2, bab = block[:4]
-        return mesh_closest_hit_mxu(
-            o, d, bp1, be1, be2, bab, empty_sup, n_super=0, leaf=leaf,
-            ray_tile=ray_tile, eps=eps, interpret=interpret,
-            vmem_tri_budget=per_block * leaf,
-            tri_n=block[4] if with_n else None, want_uv=want_uv)
+    def step(carry, bi):
+        t_c, idx_c, pay_c = carry
+        blocks = (p1b[bi], e1b[bi], e2b[bi], aabbb[bi])
+        out = mesh_closest_hit_mxu(
+            o, d, blocks[0], blocks[1], blocks[2], blocks[3], empty_sup,
+            n_super=0, leaf=leaf, ray_tile=ray_tile, eps=eps,
+            interpret=interpret, vmem_tri_budget=per_block * leaf,
+            tri_n=nb[bi] if with_n else None, want_uv=want_uv, t0=t_c)
+        t_b, idx_b = out[0], out[1]
+        won = idx_b >= 0
+        t_c = jnp.where(won, t_b, t_c)
+        idx_c = jnp.where(won, idx_b + bi * (per_block * leaf), idx_c)
+        if pay_c is not None:
+            pay_c = jnp.where(won[:, None], out[2], pay_c)
+        return (t_c, idx_c, pay_c), None
 
-    blocks = (p1b, e1b, e2b, aabbb) + ((nb,) if with_n else ())
-    out = jax.lax.map(one, blocks)                          # (B, R) each
-    ts, idxs = out[0], out[1]
-    offs = (jnp.arange(n_blocks, dtype=jnp.int32) * (per_block * leaf))[:, None]
-    idx_g = jnp.where(idxs >= 0, idxs + offs, -1)
-    best = jnp.argmin(ts, axis=0)                           # miss rows are BIG
-    t = jnp.take_along_axis(ts, best[None, :], axis=0)[0]
-    idx = jnp.take_along_axis(idx_g, best[None, :], axis=0)[0]
+    pay0 = None
+    if with_n:
+        pay0 = jnp.zeros((R, 3), o.dtype)
+    elif want_uv:
+        pay0 = jnp.zeros((R, 2), o.dtype)
+    init = (jnp.full((R,), BIG, o.dtype), jnp.full((R,), -1, jnp.int32), pay0)
+    (t, idx, pay), _ = jax.lax.scan(step, init, order)
     if with_n or want_uv:
-        payload = jnp.take_along_axis(out[2], best[None, :, None], axis=0)[0]
-        return t, idx, payload
+        return t, idx, pay
     return t, idx
 
 
 def _any_hit_blocked(o, d, max_t, p1, e1, e2, aabb, n_blocks: int, leaf: int,
                      ray_tile: int, eps: float, interpret: bool):
+    """Streaming occlusion: scan over superblocks (front-to-back, matching
+    the closest-hit scan) with a carried found mask — occluded lanes get
+    max_t = -1 so later blocks drop them from their schedules entirely."""
     p1b, e1b, e2b, aabbb, per_block, _, _ = _block_tables(p1, e1, e2, aabb,
                                                           n_blocks, leaf)
     empty_sup = jnp.zeros((0, 6), aabb.dtype)
+    order = _block_order(o, d, aabbb)
 
-    def one(block):
-        bp1, be1, be2, bab = block
-        return mesh_any_hit_mxu(
-            o, d, max_t, bp1, be1, be2, bab, empty_sup, n_super=0, leaf=leaf,
-            ray_tile=ray_tile, eps=eps, interpret=interpret,
-            vmem_tri_budget=per_block * leaf)
+    def step(found, bi):
+        m = jnp.where(found, jnp.asarray(-1.0, max_t.dtype), max_t)
+        f = mesh_any_hit_mxu(
+            o, d, m, p1b[bi], e1b[bi], e2b[bi], aabbb[bi], empty_sup,
+            n_super=0, leaf=leaf, ray_tile=ray_tile, eps=eps,
+            interpret=interpret, vmem_tri_budget=per_block * leaf)
+        return found | f, None
 
-    hits = jax.lax.map(one, (p1b, e1b, e2b, aabbb))         # (B, R)
-    return jnp.any(hits, axis=0)
+    found, _ = jax.lax.scan(step, jnp.zeros(o.shape[:1], bool), order)
+    return found
 
 
 def _crossing_blocked(o, d, t_hit, hit_gid, p1, e1, e2, aabb, cid,
@@ -790,7 +896,8 @@ def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
                          super_width: int = 8, ray_tile: int = 128,
                          eps: float = EPSILON, interpret: bool = False,
                          vmem_tri_budget: int = VMEM_TRI_BUDGET,
-                         tri_n=None, want_uv: bool = False):
+                         tri_n=None, want_uv: bool = False, tri_sn=None,
+                         t0=None):
     """Closest triangle hit with MXU cluster tests and an IN-KERNEL
     front-to-back traversal schedule (every tile slab-tests the whole (6, C)
     cluster AABB table in VMEM, then a fused selection-sort while_loop visits
@@ -800,18 +907,27 @@ def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
 
     With tri_n (T, 3) provided, the winner's row is selected in-kernel and a
     third output n (R, 3) is returned (zeros on miss) — eliminating the
-    XLA-side normal gather from the shading path. With want_uv=True (smooth
-    meshes; mutually exclusive with tri_n) the winner's barycentric (u, v)
-    is selected in-kernel instead and returned as a third output uv (R, 2).
+    XLA-side normal gather from the shading path. With tri_sn (T, 9)
+    provided ([sn1 | sn2 | sn3] corner normals; smooth meshes) the winner's
+    corner rows are blended with its barycentric (u, v) in-kernel and the
+    third output is that unnormalized shading normal (R, 3). want_uv=True
+    returns the raw winner (u, v) (R, 2) instead. The three payload modes
+    are mutually exclusive.
+
+    t0 (R,) optional: carried strictly-before bound — only hits with
+    t < t0 are reported and clusters at or beyond it are never scheduled
+    (the cross-superblock carry; see _closest_hit_blocked).
 
     Meshes whose feature slab exceeds the VMEM budget stream through the
-    kernel in cluster superblocks (lax.map over block-sliced tables) with an
-    XLA min-by-t combine — HBM-resident geometry, VMEM-resident blocks.
+    kernel in cluster superblocks with a carried-t scan in global
+    front-to-back block order — HBM-resident geometry, VMEM-resident blocks
+    (tri_sn is not supported there; callers fall back to want_uv).
     """
     del super_aabb, n_super, super_width
-    assert not (want_uv and tri_n is not None)
+    assert sum((want_uv, tri_n is not None, tri_sn is not None)) <= 1
     n_blocks = _blocked(tri_p1, leaf, vmem_tri_budget)
     if n_blocks > 1:
+        assert tri_sn is None and t0 is None
         return _closest_hit_blocked(
             o, d, tri_p1, tri_e1, tri_e2, cluster_aabb, n_blocks, leaf,
             ray_tile, eps, interpret, tri_n=tri_n, want_uv=want_uv)
@@ -826,17 +942,36 @@ def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
     rayf = _ray_features(o_p, d_p)                       # (R', 10)
     aabb_t = cluster_aabb.astype(jnp.float32).T          # (6, C)
     with_n = tri_n is not None
+    with_sn = tri_sn is not None
+    with_t0 = t0 is not None
 
     kernel = functools.partial(_kernel_mxu, leaf=leaf, eps=eps,
-                               with_n=with_n, with_uv=want_uv)
-    feat_spec = [pl.BlockSpec(feat.shape, lambda i: (0, 0),
-                              memory_space=pltpu.VMEM)]
-    args = [rayf, feat]
+                               with_n=with_n, with_uv=want_uv,
+                               with_sn=with_sn, with_t0=with_t0)
+    in_specs = [pl.BlockSpec((rt, 10), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [rayf]
+    if with_t0:
+        t0_p = jnp.pad(t0, ((0, pad),), constant_values=-BIG)
+        in_specs.append(pl.BlockSpec((rt, 1), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(t0_p.astype(jnp.float32)[:, None])
+    in_specs.append(pl.BlockSpec(feat.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    args.append(feat)
     if with_n:
         nrm = tri_n.astype(jnp.float32).T                # (3, T)
-        feat_spec.append(pl.BlockSpec(nrm.shape, lambda i: (0, 0),
-                                      memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(nrm.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
         args.append(nrm)
+    if with_sn:
+        snc = tri_sn.astype(jnp.float32).T               # (9, T)
+        in_specs.append(pl.BlockSpec(snc.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(snc)
+    in_specs.append(pl.BlockSpec(aabb_t.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    args.append(aabb_t)
     out_specs = [
         pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -845,7 +980,7 @@ def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
         jax.ShapeDtypeStruct((1, R + pad), jnp.float32),
         jax.ShapeDtypeStruct((1, R + pad), jnp.int32),
     ]
-    if with_n:
+    if with_n or with_sn:
         out_specs.append(
             pl.BlockSpec((3, rt), lambda i: (0, i), memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((3, R + pad), jnp.float32))
@@ -856,21 +991,18 @@ def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((rt, 10), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            *feat_spec,
-            pl.BlockSpec(aabb_t.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(*args, aabb_t)
-    t, idx = out[0], out[1]
-    if with_n or want_uv:
-        return (t[0, :R].astype(o.dtype), idx[0, :R],
-                out[2][:, :R].T.astype(o.dtype))
-    return t[0, :R].astype(o.dtype), idx[0, :R]
+    )(*args)
+    t, idx = out[0][0, :R], out[1][0, :R]
+    # lanes whose seeded bound was never beaten carry the seed, not BIG —
+    # restore the public miss contract
+    t = jnp.where(idx >= 0, t, BIG).astype(o.dtype)
+    if with_n or with_sn or want_uv:
+        return t, idx, out[2][:, :R].T.astype(o.dtype)
+    return t, idx
 
 
 @functools.partial(

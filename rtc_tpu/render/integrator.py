@@ -221,6 +221,50 @@ def _kernel_closest_uv_jvp(spec, primals, tangents):
     return (t, idx, uv), (dt, didx, duv)
 
 
+@functools.partial(_jax.custom_jvp, nondiff_argnums=(0,))
+def _kernel_closest_sn(spec, o, d, p1, e1, e2, snc, aabb, sup):
+    """_kernel_closest variant for SMOOTH meshes: the winner's three corner
+    normals (snc: (T, 9) = [sn1|sn2|sn3]) are blended with its barycentric
+    (u, v) IN-KERNEL; n is the unnormalized blend (zeros on miss). Autodiff
+    semantics match the gathered recompute it replaces: tangents from a
+    single refined Möller-Trumbore at the winning triangle feeding the same
+    blend."""
+    impl, n_super, leaf, ray_tile, eps = spec
+    from ..ops.pallas.mesh_intersect import mesh_closest_hit_mxu
+
+    sg = _jax.lax.stop_gradient
+    t, idx, n = mesh_closest_hit_mxu(
+        sg(o), sg(d), sg(p1), sg(e1), sg(e2), sg(aabb), sg(sup),
+        n_super=n_super, leaf=leaf, ray_tile=ray_tile, eps=eps,
+        interpret=impl.endswith("_interpret"), tri_sn=sg(snc))
+    return t, idx, n
+
+
+@_kernel_closest_sn.defjvp
+def _kernel_closest_sn_jvp(spec, primals, tangents):
+    o, d, p1, e1, e2, snc, aabb, sup = primals
+    do, dd, dp1, de1, de2, dsnc, _, _ = tangents
+    t, idx, n = _kernel_closest_sn(spec, *primals)
+    eps = spec[4]
+    hit_ok = idx >= 0
+    idx_c = jnp.where(hit_ok, idx, 0)
+
+    def refined(o, d, p1, e1, e2, snc):
+        t_ref, _, u, v = intersect.triangle(
+            o, d, p1[idx_c], e1[idx_c], e2[idx_c], eps)
+        g = snc[idx_c]                                   # (R, 9)
+        w0 = (1.0 - u - v)[:, None]
+        n_ref = w0 * g[:, 0:3] + u[:, None] * g[:, 3:6] + v[:, None] * g[:, 6:9]
+        return t_ref, n_ref
+
+    _, (dt, dn) = _jax.jvp(refined, (o, d, p1, e1, e2, snc),
+                           (do, dd, dp1, de1, de2, dsnc))
+    dt = jnp.where(hit_ok, dt, 0.0)
+    dn = jnp.where(hit_ok[:, None], dn, 0.0)
+    didx = _np.zeros(idx.shape, dtype=_jax.dtypes.float0)
+    return (t, idx, n), (dt, didx, dn)
+
+
 @_kernel_closest_n.defjvp
 def _kernel_closest_n_jvp(spec, primals, tangents):
     o, d, p1, e1, e2, nrm, aabb, sup = primals
@@ -300,20 +344,31 @@ def mesh_closest(scene: Scene, o, d, cfg: RenderConfig, want_n: bool = False):
                 spec, o, d, scene.tri_p1, scene.tri_e1, scene.tri_e2,
                 scene.tri_n, scene.cluster_aabb, scene.super_aabb)
         elif want_n and impl.startswith("mxu"):
-            # smooth meshes: winner (u, v) selected in-kernel; the corner
-            # normals blend with ONE fused (T, 9) gather — replacing the
-            # gathered Möller-Trumbore recompute (3 gathers + full MT) plus
-            # 3 separate corner-normal gathers of the fallback below
-            t, idx, uv = _kernel_closest_uv(
-                spec, o, d, scene.tri_p1, scene.tri_e1, scene.tri_e2,
-                scene.cluster_aabb, scene.super_aabb)
-            idx_c0 = jnp.where(idx >= 0, idx, 0)
+            from ..ops.pallas.mesh_intersect import VMEM_TRI_BUDGET
+
             snc = jnp.concatenate(
                 [scene.tri_sn1, scene.tri_sn2, scene.tri_sn3], axis=1)
-            g = snc[idx_c0]                                  # (R, 9)
-            u, v = uv[:, 0:1], uv[:, 1:2]
-            n = normalize(
-                (1.0 - u - v) * g[:, 0:3] + u * g[:, 3:6] + v * g[:, 6:9])
+            if scene.static.n_tris <= VMEM_TRI_BUDGET:
+                # smooth meshes: the winner's corner normals are blended
+                # with its (u, v) IN-KERNEL from the VMEM-resident (9, T)
+                # corner slab — no XLA-side (R, 9) gather, no separate uv
+                # JVP recompute
+                t, idx, n_blend = _kernel_closest_sn(
+                    spec, o, d, scene.tri_p1, scene.tri_e1, scene.tri_e2,
+                    snc, scene.cluster_aabb, scene.super_aabb)
+                n = normalize(n_blend)
+            else:
+                # oversized smooth mesh (streams in superblocks): winner
+                # (u, v) in-kernel, corner blend with ONE fused (R, 9)
+                # gather outside
+                t, idx, uv = _kernel_closest_uv(
+                    spec, o, d, scene.tri_p1, scene.tri_e1, scene.tri_e2,
+                    scene.cluster_aabb, scene.super_aabb)
+                idx_c0 = jnp.where(idx >= 0, idx, 0)
+                g = snc[idx_c0]                              # (R, 9)
+                u, v = uv[:, 0:1], uv[:, 1:2]
+                n = normalize(
+                    (1.0 - u - v) * g[:, 0:3] + u * g[:, 3:6] + v * g[:, 6:9])
         else:
             t, idx = _kernel_closest(
                 spec, o, d, scene.tri_p1, scene.tri_e1, scene.tri_e2,

@@ -49,8 +49,15 @@ SPECS = {
 HERE = os.path.dirname(__file__)
 
 # the reference's DEFAULT render width (src/main.rs:77): full-resolution
-# anchors for the two headline scenes, stored as <name>_w400.npy
-FULLWIDTH_SPECS = {"cow": 400, "table": 400}
+# anchors for EVERY registry scene (except the 523k-tri herd — hours on
+# CPU), stored as <name>_w400.npy. The tiny goldens above mathematically
+# cannot see sub-pixel-scale regressions (silhouettes, checker parity,
+# refraction chains); these can. glass_teapot keeps its depth-8 budget.
+def _spec_w(v):
+    return (400, v[1]) if isinstance(v, tuple) else 400
+
+
+FULLWIDTH_SPECS = {name: _spec_w(v) for name, v in SPECS.items()}
 
 
 def _spec(v):
@@ -74,13 +81,22 @@ def _regen(name, width, depth, path):
         print(f"{os.path.basename(path)}: written")
 
 
+import sys
+
+
 def main():
-    for name in sorted(SPECS):
-        width, depth = _spec(SPECS[name])
-        _regen(name, width, depth, os.path.join(HERE, f"{name}.npy"))
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if "--fullwidth-only" not in sys.argv:
+        for name in sorted(SPECS):
+            if only and name not in only:
+                continue
+            width, depth = _spec(SPECS[name])
+            _regen(name, width, depth, os.path.join(HERE, f"{name}.npy"))
     for name in sorted(FULLWIDTH_SPECS):
-        _regen(name, FULLWIDTH_SPECS[name], 5,
-               os.path.join(HERE, f"{name}_w400.npy"))
+        if only and name not in only:
+            continue
+        width, depth = _spec(FULLWIDTH_SPECS[name])
+        _regen(name, width, depth, os.path.join(HERE, f"{name}_w400.npy"))
 
 
 if __name__ == "__main__":

@@ -53,17 +53,21 @@ def test_golden(name):
     np.testing.assert_allclose(img, golden, atol=1e-9, rtol=0)
 
 
-# full default-width anchors: the reference's default render is 400x200
-# (src/main.rs:77); the tiny goldens above can't see sub-pixel-scale
-# regressions these can. f64 end-to-end, marked slow (CPU render ~minutes).
+# full default-width anchors for EVERY registry scene (minus the 523k-tri
+# herd): the reference's default render is 400x200 (src/main.rs:77); the
+# tiny goldens above mathematically can't see sub-pixel-scale regressions
+# (silhouettes, checker parity, refraction chains) — these can. f64
+# end-to-end, marked slow (CPU renders ~minutes total).
 @pytest.mark.slow
-@pytest.mark.parametrize("name", ["cow", "table"])
+@pytest.mark.parametrize("name", sorted(SPECS))
 def test_golden_default_width(name):
     golden = np.load(os.path.join(GOLDEN, f"{name}_w400.npy"))
+    _, depth = _spec(SPECS[name])  # glass_teapot keeps depth 8
     world, cam = REGISTRY[name](400)
     scene = compile_scene(world, dtype=np.float64)
     img = np.asarray(render(
-        scene, cam, RenderConfig(dtype="float64", ray_tile=512)))
+        scene, cam,
+        RenderConfig(dtype="float64", ray_tile=512, max_depth=depth)))
     np.testing.assert_allclose(img, golden, atol=1e-9, rtol=0)
 
 

@@ -445,3 +445,61 @@ def test_cow_herd_streaming_matches_bruteforce():
     np.testing.assert_array_equal(hit_b, hit_k)
     assert hit_b.any()
     np.testing.assert_allclose(t_k[hit_k], t_b[hit_b], rtol=1e-4, atol=1e-5)
+
+
+def test_carried_t0_bound_semantics(teapot32):
+    """The streaming carry contract: with t0 provided, only hits strictly
+    before t0 are reported (idx >= 0); lanes whose best hit is at/beyond
+    their t0 report idx == -1 and t == BIG."""
+    from rtc_tpu.ops.pallas.mesh_intersect import mesh_closest_hit_mxu
+
+    scene, o, d = teapot32
+    o, d = o[::7][:256], d[::7][:256]
+    st = scene.static
+    args = (scene.tri_p1, scene.tri_e1, scene.tri_e2, scene.cluster_aabb,
+            scene.super_aabb)
+    kw = dict(n_super=st.n_super, leaf=st.cluster_size, interpret=True)
+    t_free, i_free = mesh_closest_hit_mxu(o, d, *args, **kw)
+    hit = np.asarray(i_free) >= 0
+    assert hit.any() and (~hit).any()
+
+    # bound strictly BELOW each hit: nothing may be reported
+    t0_low = jnp.where(jnp.asarray(hit), t_free * 0.5, 1e-3)
+    t_b, i_b = mesh_closest_hit_mxu(o, d, *args, t0=t0_low, **kw)
+    assert (np.asarray(i_b) == -1).all()
+    assert (np.asarray(t_b) > BIG * 0.5).all()
+
+    # bound ABOVE each hit: the free-search winners reappear exactly
+    t0_high = jnp.where(jnp.asarray(hit), t_free * 1.5, jnp.asarray(BIG))
+    t_c, i_c = mesh_closest_hit_mxu(o, d, *args, t0=t0_high, **kw)
+    np.testing.assert_array_equal(np.asarray(i_c)[hit], np.asarray(i_free)[hit])
+    np.testing.assert_allclose(np.asarray(t_c)[hit], np.asarray(t_free)[hit],
+                               rtol=0, atol=0)
+    assert (np.asarray(i_c)[~hit] == -1).all()
+
+
+def test_blocked_streaming_with_normal_payload(teapot32):
+    """The carried-scan streaming path must deliver the same in-kernel flat
+    normal payload as the single-block kernel."""
+    from rtc_tpu.ops.pallas.mesh_intersect import mesh_closest_hit_mxu
+
+    scene, o, d = teapot32
+    o, d = o[::5][:256], d[::5][:256]
+    st = scene.static
+    leaf = st.cluster_size
+    args = (scene.tri_p1, scene.tri_e1, scene.tri_e2, scene.cluster_aabb,
+            scene.super_aabb)
+    kw = dict(n_super=st.n_super, leaf=leaf, interpret=True,
+              tri_n=scene.tri_n)
+    t1, i1, n1 = mesh_closest_hit_mxu(o, d, *args, **kw)
+    t2, i2, n2 = mesh_closest_hit_mxu(o, d, *args,
+                                      vmem_tri_budget=2 * leaf, **kw)
+    hit = np.asarray(i1) >= 0
+    np.testing.assert_allclose(np.asarray(t1)[hit], np.asarray(t2)[hit],
+                               rtol=0, atol=1e-5)
+    # normals at non-tie winners must match exactly
+    same = hit & (np.asarray(i1) == np.asarray(i2))
+    assert same.sum() > 0.9 * hit.sum()
+    np.testing.assert_allclose(np.asarray(n1)[same], np.asarray(n2)[same],
+                               rtol=0, atol=1e-6)
+    assert (np.asarray(i2)[~hit] == -1).all()
