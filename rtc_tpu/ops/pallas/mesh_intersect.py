@@ -324,6 +324,42 @@ def _slab_entries(rayf_ref, aabb_ref, maxt=None, signed=False,
     return entry
 
 
+def _union_gate(rayf_ref, aabb_ref, maxt=None, signed=False):
+    """Tile-level gate: does ANY ray of the tile overlap the UNION AABB of
+    the cluster table (within its per-ray bound)? One box per tile (~rt x 18
+    flops) instead of the full (rt, C) schedule — the whole per-tile entry
+    computation is skipped behind this predicate when a tile's rays miss the
+    block entirely (sky tiles; streamed superblocks culled by the carried
+    t_best). Empty clusters contribute an inverted box, so an all-padding
+    block gates to False."""
+    big = jnp.float32(BIG)
+    lo, hi = [], []
+    for ax in range(3):
+        e = aabb_ref[ax:ax + 1, :] > aabb_ref[3 + ax:4 + ax, :]
+        lo.append(jnp.min(jnp.where(e, big, aabb_ref[ax:ax + 1, :])))
+        hi.append(jnp.max(jnp.where(e, -big, aabb_ref[3 + ax:4 + ax, :])))
+    tmin = None
+    tmax = None
+    for ax in range(3):
+        dax = rayf_ref[:, ax:ax + 1]
+        oax = rayf_ref[:, 6 + ax:7 + ax]
+        near0 = jnp.abs(dax) < 1e-30
+        inv = jnp.where(near0, jnp.where(dax >= 0, big, -big),
+                        1.0 / jnp.where(near0, 1.0, dax))
+        t1 = (lo[ax] - oax) * inv
+        t2 = (hi[ax] - oax) * inv
+        lo_t = jnp.minimum(t1, t2)
+        hi_t = jnp.maximum(t1, t2)
+        tmin = lo_t if tmin is None else jnp.maximum(tmin, lo_t)
+        tmax = hi_t if tmax is None else jnp.minimum(tmax, hi_t)
+    ov = (tmax >= tmin) & (lo[0] <= hi[0])
+    if not signed:
+        ov = ov & (tmax >= 0.0)
+    if maxt is not None:
+        ov = ov & (tmin < maxt)
+    return jnp.any(ov)
+
+
 def _mt_cluster_mxu(rayf, feat_ref, c, leaf: int, eps: float,
                     with_uv: bool = False):
     """One cluster's Möller-Trumbore on the MXU. Returns (t, ok) (RT, L)
@@ -401,6 +437,38 @@ def _kernel_mxu(rayf_ref, *refs, leaf: int, eps: float, with_n: bool,
     big = jnp.float32(BIG)
     rt = rayf.shape[0]
     maxt = t0_ref[:, :] if with_t0 else None
+
+    # tile gate: one union-box test decides whether the (rt, C) schedule is
+    # worth computing at all — sky-only tiles and streamed blocks culled by
+    # the carried t_best skip straight to the miss outputs
+    gate = _union_gate(rayf_ref, aabb_ref, maxt=maxt)
+
+    @pl.when(jnp.logical_not(gate))
+    def _skip():
+        t_ref[0, :] = jnp.full((rt,), big, jnp.float32)
+        idx_ref[0, :] = jnp.full((rt,), -1, jnp.int32)
+        if with_n or with_sn:
+            out_pay_ref[0, :] = jnp.zeros((rt,), jnp.float32)
+            out_pay_ref[1, :] = jnp.zeros((rt,), jnp.float32)
+            out_pay_ref[2, :] = jnp.zeros((rt,), jnp.float32)
+        elif with_uv:
+            out_pay_ref[0, :] = jnp.zeros((rt,), jnp.float32)
+            out_pay_ref[1, :] = jnp.zeros((rt,), jnp.float32)
+
+    @pl.when(gate)
+    def _work():
+        _kernel_mxu_body(
+            rayf_ref, rayf, maxt, t0_ref, feat_ref, nrm_ref, snc_ref,
+            aabb_ref, t_ref, idx_ref, out_pay_ref, leaf=leaf, eps=eps,
+            with_n=with_n, with_uv=with_uv, with_sn=with_sn, with_t0=with_t0)
+
+
+def _kernel_mxu_body(rayf_ref, rayf, maxt, t0_ref, feat_ref, nrm_ref,
+                     snc_ref, aabb_ref, t_ref, idx_ref, out_pay_ref, *,
+                     leaf: int, eps: float, with_n: bool, with_uv: bool,
+                     with_sn: bool, with_t0: bool):
+    big = jnp.float32(BIG)
+    rt = rayf.shape[0]
     entry, exit_r = _slab_entries(rayf_ref, aabb_ref, maxt=maxt,
                                   want_exit=True)
     C = entry.shape[1]
@@ -560,46 +628,56 @@ def _crossing_kernel_mxu(rayf_ref, maxt_ref, hitgid_ref, feat_ref, cid_ref,
     hitgid = hitgid_ref[:, :]                    # (RT, 1) i32
     big = jnp.float32(BIG)
     rt = rayf.shape[0]
-    entry = _slab_entries(rayf_ref, aabb_ref, maxt=maxt, signed=True)
-    C = entry.shape[1]
-    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    gate = _union_gate(rayf_ref, aabb_ref, maxt=maxt, signed=True)
 
-    def pop(work):
-        m = jnp.min(work)
-        c = jnp.min(jnp.where(work == m, lanes2, jnp.int32(2**30)))
-        return m, c, jnp.where(lanes2 == c, big, work)
-
-    def cond(carry):
-        return carry[1] < big
-
-    def body(carry):
-        work, m, c = carry[:3]
-        cnt = carry[3]
-        last = carry[4]
-        m_next, c_next, work = pop(work)
-        t, ok = _mt_cluster_mxu_signed(rayf, feat_ref, c, leaf, eps)
-        ok = ok & (t < maxt)
-        lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-        gid = c * leaf + lane                   # global triangle ids (RT, L)
-        ok = ok & (gid != hitgid)
-        s = pl.ds(pl.multiple_of(c * leaf, leaf), leaf)
-        cid = cid_ref[0, s][None, :]            # (1, L) container slots
-        new_cnt, new_last = [], []
+    @pl.when(jnp.logical_not(gate))
+    def _skip():
         for k in range(n_containers):
-            mk = ok & (cid == k)
-            new_cnt.append(cnt[k] + jnp.sum(mk, axis=1, dtype=jnp.int32))
-            new_last.append(jnp.maximum(
-                last[k], jnp.max(jnp.where(mk, t, -big), axis=1)))
-        return (work, m_next, c_next, tuple(new_cnt), tuple(new_last))
+            cnt_ref[k, :] = jnp.zeros((rt,), jnp.int32)
+            last_ref[k, :] = jnp.full((rt,), -big, jnp.float32)
 
-    m0, c0, work0 = pop(entry)
-    cnt0 = tuple(jnp.zeros((rt,), jnp.int32) for _ in range(n_containers))
-    last0 = tuple(jnp.full((rt,), -big, jnp.float32)
-                  for _ in range(n_containers))
-    out = jax.lax.while_loop(cond, body, (work0, m0, c0, cnt0, last0))
-    for k in range(n_containers):
-        cnt_ref[k, :] = out[3][k]
-        last_ref[k, :] = out[4][k]
+    @pl.when(gate)
+    def _work():
+        entry = _slab_entries(rayf_ref, aabb_ref, maxt=maxt, signed=True)
+        C = entry.shape[1]
+        lanes2 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+
+        def pop(work):
+            m = jnp.min(work)
+            c = jnp.min(jnp.where(work == m, lanes2, jnp.int32(2**30)))
+            return m, c, jnp.where(lanes2 == c, big, work)
+
+        def cond(carry):
+            return carry[1] < big
+
+        def body(carry):
+            work, m, c = carry[:3]
+            cnt = carry[3]
+            last = carry[4]
+            m_next, c_next, work = pop(work)
+            t, ok = _mt_cluster_mxu_signed(rayf, feat_ref, c, leaf, eps)
+            ok = ok & (t < maxt)
+            lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            gid = c * leaf + lane               # global triangle ids (RT, L)
+            ok = ok & (gid != hitgid)
+            s = pl.ds(pl.multiple_of(c * leaf, leaf), leaf)
+            cid = cid_ref[0, s][None, :]        # (1, L) container slots
+            new_cnt, new_last = [], []
+            for k in range(n_containers):
+                mk = ok & (cid == k)
+                new_cnt.append(cnt[k] + jnp.sum(mk, axis=1, dtype=jnp.int32))
+                new_last.append(jnp.maximum(
+                    last[k], jnp.max(jnp.where(mk, t, -big), axis=1)))
+            return (work, m_next, c_next, tuple(new_cnt), tuple(new_last))
+
+        m0, c0, work0 = pop(entry)
+        cnt0 = tuple(jnp.zeros((rt,), jnp.int32) for _ in range(n_containers))
+        last0 = tuple(jnp.full((rt,), -big, jnp.float32)
+                      for _ in range(n_containers))
+        out = jax.lax.while_loop(cond, body, (work0, m0, c0, cnt0, last0))
+        for k in range(n_containers):
+            cnt_ref[k, :] = out[3][k]
+            last_ref[k, :] = out[4][k]
 
 
 def _anyhit_kernel_mxu(rayf_ref, maxt_ref, feat_ref, aabb_ref, hit_ref, *,
@@ -612,38 +690,46 @@ def _anyhit_kernel_mxu(rayf_ref, maxt_ref, feat_ref, aabb_ref, hit_ref, *,
     rayf = rayf_ref[:, :]
     maxt = maxt_ref[:, :]                        # (RT, 1)
     big = jnp.float32(BIG)
-    active = (maxt[:, 0] > 0.0).astype(jnp.int32)
-    entry = _slab_entries(rayf_ref, aabb_ref, maxt=maxt)
-    C = entry.shape[1]
-    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
-
-    def pop(work):
-        m = jnp.min(work)
-        c = jnp.min(jnp.where(work == m, lanes2, jnp.int32(2**30)))
-        return m, c, jnp.where(lanes2 == c, big, work)
-
-    # same carried-selection structure as _kernel_mxu: cond reads carried
-    # scalars only, the next pop's reduces overlap this cluster's MT
-    def cond(carry):
-        m, n_open = carry[1], carry[3]
-        return (m < big) & (n_open > 0)
-
-    def body(carry):
-        work, m, c, n_open, found = carry
-        m_next, c_next, work = pop(work)
-        t, ok = _mt_cluster_mxu(rayf, feat_ref, c, leaf, eps)
-        ok = ok & (t < maxt)
-        found = found | jnp.any(ok, axis=1).astype(jnp.int32)
-        n_open = jnp.sum(active * (1 - found), dtype=jnp.int32)
-        return work, m_next, c_next, n_open, found
-
-    m0, c0, work0 = pop(entry)
     rt = rayf.shape[0]
-    out = jax.lax.while_loop(
-        cond, body,
-        (work0, m0, c0, jnp.sum(active, dtype=jnp.int32),
-         jnp.zeros((rt,), jnp.int32)))
-    hit_ref[0, :] = out[4]
+    gate = _union_gate(rayf_ref, aabb_ref, maxt=maxt)
+
+    @pl.when(jnp.logical_not(gate))
+    def _skip():
+        hit_ref[0, :] = jnp.zeros((rt,), jnp.int32)
+
+    @pl.when(gate)
+    def _work():
+        active = (maxt[:, 0] > 0.0).astype(jnp.int32)
+        entry = _slab_entries(rayf_ref, aabb_ref, maxt=maxt)
+        C = entry.shape[1]
+        lanes2 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+
+        def pop(work):
+            m = jnp.min(work)
+            c = jnp.min(jnp.where(work == m, lanes2, jnp.int32(2**30)))
+            return m, c, jnp.where(lanes2 == c, big, work)
+
+        # same carried-selection structure as _kernel_mxu: cond reads carried
+        # scalars only, the next pop's reduces overlap this cluster's MT
+        def cond(carry):
+            m, n_open = carry[1], carry[3]
+            return (m < big) & (n_open > 0)
+
+        def body(carry):
+            work, m, c, n_open, found = carry
+            m_next, c_next, work = pop(work)
+            t, ok = _mt_cluster_mxu(rayf, feat_ref, c, leaf, eps)
+            ok = ok & (t < maxt)
+            found = found | jnp.any(ok, axis=1).astype(jnp.int32)
+            n_open = jnp.sum(active * (1 - found), dtype=jnp.int32)
+            return work, m_next, c_next, n_open, found
+
+        m0, c0, work0 = pop(entry)
+        out = jax.lax.while_loop(
+            cond, body,
+            (work0, m0, c0, jnp.sum(active, dtype=jnp.int32),
+             jnp.zeros((rt,), jnp.int32)))
+        hit_ref[0, :] = out[4]
 
 
 # triangles whose feature slab ((10, 4T) f32 = 160 B/tri) comfortably fits
