@@ -732,6 +732,458 @@ def _anyhit_kernel_mxu(rayf_ref, maxt_ref, feat_ref, aabb_ref, hit_ref, *,
         hit_ref[0, :] = out[4]
 
 
+def _inst_ray_features(rayf, rf_ref, i):
+    """Transform the tile's ray features into instance i's object space:
+    ONE (rt, 10) x (10, 10) matmul against the host-precomputed feature
+    transform (rf_ref rows i*16 .. i*16+10; see TlasTables.inst_rf — the
+    cross-product block rides the cofactor identity (Ao)x(Ad) = cof(A)(oxd),
+    so the whole [d, o x d, o, 1] basis maps linearly).
+
+    t is PRESERVED: d' = A d is not renormalized, so an object-space hit at
+    parameter t lies at the same world t — the invariant the reference's
+    Shape::intersect relies on when it transforms rays down the tree
+    (src/shape.rs:214-221). That makes the carried world-space t_best
+    directly comparable across instances."""
+    mi = rf_ref[pl.ds(pl.multiple_of(i * 16, 16), 16), :][:10, :]
+    return jax.lax.dot_general(
+        rayf, mi,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
+def _slab_full(rayf_ref, aabb_ref):
+    """Full per-(ray, box) slab test of the tile against a (6, C) VMEM box
+    table: returns (tmin, tmax, ov) each (rt, C). The TLAS kernel computes
+    this ONCE per tile for the instance boxes; per-visit bounds then reduce
+    lane-parallel masked columns instead of re-testing one box in (rt, 1)
+    shape (1/128 lane occupancy)."""
+    big = jnp.float32(BIG)
+    tmin = None
+    tmax = None
+    empty = None
+    for ax in range(3):
+        e = aabb_ref[ax:ax + 1, :] > aabb_ref[3 + ax:4 + ax, :]
+        empty = e if empty is None else (empty | e)
+    for ax in range(3):
+        dax = rayf_ref[:, ax:ax + 1]
+        oax = rayf_ref[:, 6 + ax:7 + ax]
+        near0 = jnp.abs(dax) < 1e-30
+        inv = jnp.where(near0, jnp.where(dax >= 0, big, -big),
+                        1.0 / jnp.where(near0, 1.0, dax))
+        t1 = (aabb_ref[ax:ax + 1, :] - oax) * inv
+        t2 = (aabb_ref[3 + ax:4 + ax, :] - oax) * inv
+        lo_t = jnp.minimum(t1, t2)
+        hi_t = jnp.maximum(t1, t2)
+        tmin = lo_t if tmin is None else jnp.maximum(tmin, lo_t)
+        tmax = hi_t if tmax is None else jnp.minimum(tmax, hi_t)
+    ov = (tmax >= tmin) & (tmax >= 0.0) & ~empty
+    return tmin, tmax, ov
+
+
+def _kernel_mxu_tlas(rayf_ref, feat_ref, nrm_ref, caabb_ref, iaabb_ref,
+                     rf_ref, ab_ref, imesh_ref, iobj_ref, t_ref,
+                     idx_ref, obj_ref, *refs, leaf: int, cm: int, eps: float,
+                     with_n: bool):
+    """Two-level instanced closest hit (TLAS): the OUTER carried-selection
+    loop pops instances front-to-back by world-AABB entry t; each visit
+    transforms the ray tile into that instance's object space
+    (_inst_ray_features) and runs the standard INNER cluster loop against
+    the shared VMEM-resident unique-mesh features. The carried world t_best
+    culls later instances' schedules exactly like superblock streaming —
+    but the geometry is resident once instead of streamed per copy.
+
+    Winner encoding: idx = instance * (cm * leaf) + local_row (mesh-local);
+    -1 for miss. The winner's OBJECT ID is also selected in-kernel (obj_ref;
+    iobj_ref rows broadcast as scalars on fold — replacing an XLA-side (R,)
+    gather). with_n selects the winner's OBJECT-space face normal and
+    rotates it to world in-registers (n_world = n_obj @ A, the row-vector
+    inverse-transpose transform of src/shape.rs:623-635; normalized by the
+    caller)."""
+    rayf = rayf_ref[:, :]
+    big = jnp.float32(BIG)
+    rt = rayf.shape[0]
+    tm = cm * leaf
+
+    gate = _union_gate(rayf_ref, iaabb_ref)
+
+    @pl.when(jnp.logical_not(gate))
+    def _skip():
+        t_ref[0, :] = jnp.full((rt,), big, jnp.float32)
+        idx_ref[0, :] = jnp.full((rt,), -1, jnp.int32)
+        obj_ref[0, :] = jnp.zeros((rt,), jnp.int32)
+        if with_n:
+            refs[0][0, :] = jnp.zeros((rt,), jnp.float32)
+            refs[0][1, :] = jnp.zeros((rt,), jnp.float32)
+            refs[0][2, :] = jnp.zeros((rt,), jnp.float32)
+
+    @pl.when(gate)
+    def _work():
+        # full (rt, I) instance slab table ONCE per tile; the tile entry
+        # schedule, the per-ray seed and every visit's per-ray exit bound
+        # are lane-parallel reductions over it
+        tmin_a, tmax_a, ov_a = _slab_full(rayf_ref, iaabb_ref)
+        n_i = tmin_a.shape[1]
+        lanes_i = jax.lax.broadcasted_iota(jnp.int32, (1, n_i), 1)
+        lanes_c = jax.lax.broadcasted_iota(jnp.int32, (1, cm), 1)
+        entry_i = jnp.min(
+            jnp.where(ov_a, jnp.maximum(tmin_a, 0.0), big), axis=0,
+            keepdims=True)                                    # (1, I)
+        exit_r = jnp.max(jnp.where(ov_a, tmax_a, -big), axis=1,
+                         keepdims=True)                       # (rt, 1)
+        # seed from the instance-level exit bound (see _kernel_mxu: any hit
+        # lies inside some overlapped instance box)
+        t_best0 = jnp.minimum(exit_r[:, 0] * 1.00001 + 1e-4, big)
+
+        def pop(work, lanes):
+            m = jnp.min(work)
+            c = jnp.min(jnp.where(work == m, lanes, jnp.int32(2**30)))
+            return m, c, jnp.where(lanes == c, big, work)
+
+        def visit_inst(i, t_best, idx_best, obj_best, payload):
+            mi = imesh_ref[i, 0]
+            obj_i = iobj_ref[i, 0]
+            rayf2 = _inst_ray_features(rayf, rf_ref, i)
+            exit_i = jnp.max(
+                jnp.where(ov_a & (lanes_i == i), tmax_a, -big), axis=1,
+                keepdims=True)                                # (rt, 1)
+            bound = jnp.minimum(t_best[:, None],
+                                exit_i * 1.00001 + 1e-4)      # (rt, 1)
+            # caabb is laid out (M*8, cm): mesh on the 8-aligned SUBLANE
+            # axis (a dynamic LANE slice of width cm is not 128-aligned)
+            cab = caabb_ref[pl.ds(pl.multiple_of(mi * 8, 8), 8), :]
+            entry_c = _slab_entries(rayf2, cab, maxt=bound)   # (1, cm)
+
+            def visit_c(c, gate, t_best, idx_best, obj_best, payload):
+                """Test cluster c of this instance; gate=False makes it a
+                no-op (the possibly-empty second slot of a paired
+                iteration)."""
+                t, ok = _mt_cluster_mxu(rayf2, feat_ref, mi * cm + c, leaf,
+                                        eps)
+                tt = jnp.where(ok, t, big)
+                tmin_c = jnp.min(tt, axis=1)
+                lane = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1)
+                local = jnp.min(
+                    jnp.where(tt <= tmin_c[:, None], lane, jnp.int32(2**30)),
+                    axis=1)
+                better = (tmin_c < t_best) & gate
+                if with_n:
+                    onehot = lane == local[:, None]
+                    s = pl.ds(pl.multiple_of((mi * cm + c) * leaf, leaf),
+                              leaf)
+                    no = [jnp.sum(jnp.where(onehot, nrm_ref[k, s][None, :],
+                                            0.0), axis=1) for k in range(3)]
+                    # n_world = n_obj @ A (A row-major in ab_ref[i, 0:9])
+                    nw = [no[0] * ab_ref[i, ax] + no[1] * ab_ref[i, 3 + ax]
+                          + no[2] * ab_ref[i, 6 + ax] for ax in range(3)]
+                    payload = tuple(
+                        jnp.where(better, sel, prev)
+                        for sel, prev in zip(nw, payload))
+                t_best = jnp.where(better, tmin_c, t_best)
+                idx_best = jnp.where(
+                    better, i * tm + (c * leaf + local).astype(jnp.int32),
+                    idx_best)
+                obj_best = jnp.where(better, obj_i, obj_best)
+                return t_best, idx_best, obj_best, payload
+
+            def cond_c(carry):
+                m, t_max = carry[1], carry[3]
+                return (m < big) & (t_max > m)
+
+            def body_c(carry):
+                work, m, c, t_max, t_best, idx_best, obj_best = carry[:7]
+                payload = carry[7:]
+                # paired visits: two pops' reduction chains interleave with
+                # two clusters' MT work per iteration barrier (see
+                # _kernel_mxu_body)
+                m2, c2, work = pop(work, lanes_c)
+                m_next, c_next, work = pop(work, lanes_c)
+                t_best, idx_best, obj_best, payload = visit_c(
+                    c, jnp.bool_(True), t_best, idx_best, obj_best, payload)
+                gate2 = (m2 < big) & (t_max > m2)
+                c2 = jnp.where(gate2, c2, 0)
+                t_best, idx_best, obj_best, payload = visit_c(
+                    c2, gate2, t_best, idx_best, obj_best, payload)
+                # early-exit bound: rays outside this instance's box cannot
+                # improve here — exclude them from the inner t_max
+                t_max = jnp.max(jnp.minimum(t_best, bound[:, 0]))
+                return (work, m_next, c_next, t_max, t_best, idx_best,
+                        obj_best) + payload
+
+            m0, c0, work0 = pop(entry_c, lanes_c)
+            t_max0 = jnp.max(jnp.minimum(t_best, bound[:, 0]))
+            init = (work0, m0, c0, t_max0, t_best, idx_best, obj_best) \
+                + payload
+            out = jax.lax.while_loop(cond_c, body_c, init)
+            return out[4], out[5], out[6], out[7:]
+
+        def cond_i(carry):
+            m, t_max = carry[1], carry[3]
+            return (m < big) & (t_max > m)
+
+        def body_i(carry):
+            work, m, i, t_max, t_best, idx_best, obj_best = carry[:7]
+            payload = carry[7:]
+            m_next, i_next, work = pop(work, lanes_i)
+            t_best, idx_best, obj_best, payload = visit_inst(
+                i, t_best, idx_best, obj_best, payload)
+            t_max = jnp.max(t_best)
+            return (work, m_next, i_next, t_max, t_best, idx_best,
+                    obj_best) + payload
+
+        m0, i0, work0 = pop(entry_i, lanes_i)
+        init = (work0, m0, i0, jnp.max(t_best0), t_best0,
+                jnp.full((rt,), -1, jnp.int32),
+                jnp.zeros((rt,), jnp.int32))
+        if with_n:
+            z = jnp.zeros((rt,), jnp.float32)
+            init = init + (z, z, z)
+        out = jax.lax.while_loop(cond_i, body_i, init)
+        t_ref[0, :] = out[4]
+        idx_ref[0, :] = out[5]
+        obj_ref[0, :] = out[6]
+        if with_n:
+            refs[0][0, :] = out[7]
+            refs[0][1, :] = out[8]
+            refs[0][2, :] = out[9]
+
+
+def _anyhit_kernel_tlas(rayf_ref, maxt_ref, feat_ref, caabb_ref, iaabb_ref,
+                        rf_ref, imesh_ref, hit_ref, *, leaf: int, cm: int,
+                        eps: float):
+    """Instanced occlusion query: outer loop over instances (front-to-back
+    pop — order only matters for how fast lanes close), inner any-hit
+    cluster loop per instance. Exits as soon as every live ray is occluded;
+    occluded lanes' bounds drop to -1 so later instances' schedules shed
+    them."""
+    rayf = rayf_ref[:, :]
+    maxt = maxt_ref[:, :]                        # (rt, 1)
+    big = jnp.float32(BIG)
+    rt = rayf.shape[0]
+    gate = _union_gate(rayf_ref, iaabb_ref, maxt=maxt)
+
+    @pl.when(jnp.logical_not(gate))
+    def _skip():
+        hit_ref[0, :] = jnp.zeros((rt,), jnp.int32)
+
+    @pl.when(gate)
+    def _work():
+        active = (maxt[:, 0] > 0.0).astype(jnp.int32)
+        entry_i = _slab_entries(rayf_ref, iaabb_ref, maxt=maxt)
+        n_i = entry_i.shape[1]
+        lanes_i = jax.lax.broadcasted_iota(jnp.int32, (1, n_i), 1)
+        lanes_c = jax.lax.broadcasted_iota(jnp.int32, (1, cm), 1)
+
+        def pop(work, lanes):
+            m = jnp.min(work)
+            c = jnp.min(jnp.where(work == m, lanes, jnp.int32(2**30)))
+            return m, c, jnp.where(lanes == c, big, work)
+
+        def visit_inst(i, found):
+            mi = imesh_ref[i, 0]
+            rayf2 = _inst_ray_features(rayf, rf_ref, i)
+            m_live = jnp.where(found > 0, jnp.float32(-1.0), maxt[:, 0])
+            cab = caabb_ref[pl.ds(pl.multiple_of(mi * 8, 8), 8), :]
+            entry_c = _slab_entries(rayf2, cab, maxt=m_live[:, None])
+
+            def cond_c(carry):
+                m, n_open = carry[1], carry[3]
+                return (m < big) & (n_open > 0)
+
+            def body_c(carry):
+                work, m, c, n_open, found = carry
+                m_next, c_next, work = pop(work, lanes_c)
+                t, ok = _mt_cluster_mxu(rayf2, feat_ref, mi * cm + c, leaf,
+                                        eps)
+                ok = ok & (t < maxt)
+                found = found | jnp.any(ok, axis=1).astype(jnp.int32)
+                n_open = jnp.sum(active * (1 - found), dtype=jnp.int32)
+                return work, m_next, c_next, n_open, found
+
+            m0, c0, work0 = pop(entry_c, lanes_c)
+            n_open0 = jnp.sum(active * (1 - found), dtype=jnp.int32)
+            out = jax.lax.while_loop(cond_c, body_c,
+                                     (work0, m0, c0, n_open0, found))
+            return out[4]
+
+        def cond_i(carry):
+            m, n_open = carry[1], carry[3]
+            return (m < big) & (n_open > 0)
+
+        def body_i(carry):
+            work, m, i, n_open, found = carry
+            m_next, i_next, work = pop(work, lanes_i)
+            found = visit_inst(i, found)
+            n_open = jnp.sum(active * (1 - found), dtype=jnp.int32)
+            return work, m_next, i_next, n_open, found
+
+        m0, i0, work0 = pop(entry_i, lanes_i)
+        out = jax.lax.while_loop(
+            cond_i, body_i,
+            (work0, m0, i0, jnp.sum(active, dtype=jnp.int32),
+             jnp.zeros((rt,), jnp.int32)))
+        hit_ref[0, :] = out[4]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("leaf", "cm", "ray_tile", "eps", "interpret"),
+)
+def mesh_closest_hit_tlas_mxu(o, d, p1, e1, e2, caabb, inst_ab, inst_rf,
+                              inst_aabb, inst_mesh, inst_obj, leaf: int,
+                              cm: int, ray_tile: int = 512,
+                              eps: float = EPSILON,
+                              interpret: bool = False, tri_n=None):
+    """Closest hit over INSTANCED geometry (two-level TLAS kernel).
+
+    p1/e1/e2: (M * cm * leaf, 3) unique meshes in OBJECT space; caabb:
+    (M * cm, 6) object-space cluster AABBs; inst_ab: (I, 12) world->object
+    [A row-major | b]; inst_aabb: (I, 6) world boxes (padding: empty);
+    inst_mesh/inst_obj: (I,) i32 unique-mesh index / object id. tri_n:
+    optional (M*cm*leaf, 3) OBJECT-space face normals — the winner's normal
+    is selected and rotated to world in-kernel (returned UNNORMALIZED;
+    zeros on miss).
+
+    Returns (t, enc, obj[, n]): enc = instance * (cm * leaf) + mesh-local
+    row, -1 on miss (t = BIG, obj = 0 there); obj = the winning instance's
+    object id, selected in-kernel."""
+    R = o.shape[0]
+    rt = min(ray_tile, max(R, 128))
+    pad = (-R) % rt
+    o_p = jnp.pad(o, ((0, pad), (0, 0)), constant_values=BIG)
+    d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+    n_tiles = (R + pad) // rt
+
+    feat = _tri_features(p1, e1, e2, leaf)               # (10, 4Tu)
+    rayf = _ray_features(o_p, d_p)
+    # per-mesh cluster boxes with mesh on the SUBLANE axis: (M*8, cm) —
+    # the kernel slices mesh mi as an 8-aligned dynamic sublane range
+    n_mesh = caabb.shape[0] // cm
+    cab6 = caabb.astype(jnp.float32).reshape(n_mesh, cm, 6).transpose(0, 2, 1)
+    caabb_t = jnp.concatenate(
+        [cab6, jnp.zeros((n_mesh, 2, cm), jnp.float32)], axis=1
+    ).reshape(n_mesh * 8, cm)
+    iaabb_t = inst_aabb.astype(jnp.float32).T            # (6, I)
+    rf = inst_rf.astype(jnp.float32)                     # (I*16, 10)
+    ab = inst_ab.astype(jnp.float32)                     # (I, 12)
+    imesh = inst_mesh.astype(jnp.int32)[:, None]         # (I, 1)
+    iobj = inst_obj.astype(jnp.int32)[:, None]           # (I, 1)
+    with_n = tri_n is not None
+
+    kernel = functools.partial(_kernel_mxu_tlas, leaf=leaf, cm=cm, eps=eps,
+                               with_n=with_n)
+    in_specs = [
+        pl.BlockSpec((rt, 10), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(feat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [rayf, feat]
+    if with_n:
+        nrm = tri_n.astype(jnp.float32).T                # (3, Tu)
+        in_specs.append(pl.BlockSpec(nrm.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(nrm)
+    else:
+        # keep the kernel signature fixed: a dummy (3, 8) slab
+        dummy = jnp.zeros((3, 8), jnp.float32)
+        in_specs.append(pl.BlockSpec(dummy.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(dummy)
+    in_specs += [
+        pl.BlockSpec(caabb_t.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(iaabb_t.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(rf.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(ab.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(imesh.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(iobj.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    args += [caabb_t, iaabb_t, rf, ab, imesh, iobj]
+    out_specs = [
+        pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, R + pad), jnp.float32),
+        jax.ShapeDtypeStruct((1, R + pad), jnp.int32),
+        jax.ShapeDtypeStruct((1, R + pad), jnp.int32),
+    ]
+    if with_n:
+        out_specs.append(
+            pl.BlockSpec((3, rt), lambda i: (0, i), memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((3, R + pad), jnp.float32))
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*args)
+    t, enc, obj = out[0][0, :R], out[1][0, :R], out[2][0, :R]
+    t = jnp.where(enc >= 0, t, BIG).astype(o.dtype)
+    if with_n:
+        return t, enc, obj, out[3][:, :R].T.astype(o.dtype)
+    return t, enc, obj
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("leaf", "cm", "ray_tile", "eps", "interpret"),
+)
+def mesh_any_hit_tlas_mxu(o, d, max_t, p1, e1, e2, caabb, inst_rf,
+                          inst_aabb, inst_mesh, leaf: int, cm: int,
+                          ray_tile: int = 512,
+                          eps: float = EPSILON, interpret: bool = False):
+    """Occlusion query over INSTANCED geometry — TLAS counterpart of
+    mesh_any_hit_mxu. Returns hit (R,) bool: some triangle in [0, max_t)."""
+    R = o.shape[0]
+    rt = min(ray_tile, max(R, 128))
+    pad = (-R) % rt
+    o_p = jnp.pad(o, ((0, pad), (0, 0)), constant_values=BIG)
+    d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+    m_p = jnp.pad(max_t, ((0, pad),), constant_values=-1.0)
+    n_tiles = (R + pad) // rt
+
+    feat = _tri_features(p1, e1, e2, leaf)
+    rayf = _ray_features(o_p, d_p)
+    n_mesh = caabb.shape[0] // cm
+    cab6 = caabb.astype(jnp.float32).reshape(n_mesh, cm, 6).transpose(0, 2, 1)
+    caabb_t = jnp.concatenate(
+        [cab6, jnp.zeros((n_mesh, 2, cm), jnp.float32)], axis=1
+    ).reshape(n_mesh * 8, cm)
+    iaabb_t = inst_aabb.astype(jnp.float32).T
+    rf = inst_rf.astype(jnp.float32)
+    imesh = inst_mesh.astype(jnp.int32)[:, None]
+
+    kernel = functools.partial(_anyhit_kernel_tlas, leaf=leaf, cm=cm, eps=eps)
+    (hit,) = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((rt, 10), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(feat.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(caabb_t.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(iaabb_t.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(rf.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(imesh.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, rt), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((1, R + pad), jnp.int32)],
+        interpret=interpret,
+    )(rayf, m_p.astype(jnp.float32)[:, None], feat, caabb_t, iaabb_t, rf,
+      imesh)
+    return hit[0, :R] != 0
+
+
 # triangles whose feature slab ((10, 4T) f32 = 160 B/tri) comfortably fits
 # VMEM alongside ray tiles; larger meshes stream in superblocks
 VMEM_TRI_BUDGET = 49152

@@ -98,9 +98,12 @@ def train_step_multihost(scene: Scene, camera: Camera,
 
     if jax.process_count() > 1:
         pspecs = scene_pspecs(scene, False)
+        # tree_map per field: composite fields (Scene.tlas) and absent ones
+        # (None) globalize leaf-by-leaf under the field's prefix spec
         scene = dataclasses.replace(scene, **{
-            f.name: _to_global(mesh, getattr(pspecs, f.name),
-                               getattr(scene, f.name))
+            f.name: jax.tree_util.tree_map(
+                lambda x, _s=getattr(pspecs, f.name): _to_global(mesh, _s, x),
+                getattr(scene, f.name))
             for f in dataclasses.fields(Scene) if f.name != "static"
         })
         o, d, target = (_to_global(mesh, P("rays"), x)

@@ -41,7 +41,7 @@ def scene_pspecs(scene: Scene, shard_prims: bool) -> Scene:
             continue
         arr = getattr(scene, f.name)
         shard = False
-        if shard_prims and arr.shape[0]:
+        if shard_prims and hasattr(arr, "shape") and arr.shape[0]:
             if f.name in _TRI_FIELDS and arr.shape[0] == scene.static.n_tris:
                 shard = True
             if f.name in ("cluster_aabb", "super_aabb") and arr.shape[0] in (
@@ -237,9 +237,12 @@ def sharded_colors(scene: Scene, camera: Camera,
         # multi-controller: every process computed identical full inputs;
         # lift them onto the global mesh so jit can dispatch SPMD
         pspecs = scene_pspecs(scene, shard_p)
+        # tree_map per field: composite fields (Scene.tlas) and absent ones
+        # (None) globalize leaf-by-leaf under the field's prefix spec
         scene = dataclasses.replace(scene, **{
-            f.name: _to_global(mesh, getattr(pspecs, f.name),
-                               getattr(scene, f.name))
+            f.name: jax.tree_util.tree_map(
+                lambda x, _s=getattr(pspecs, f.name): _to_global(mesh, _s, x),
+                getattr(scene, f.name))
             for f in dataclasses.fields(Scene) if f.name != "static"
         })
         o = _to_global(mesh, P("rays"), o)

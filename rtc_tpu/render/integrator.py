@@ -287,6 +287,88 @@ def _kernel_closest_n_jvp(spec, primals, tangents):
     return (t, idx, n), (dt, didx, dn)
 
 
+@functools.partial(_jax.custom_jvp, nondiff_argnums=(0,))
+def _kernel_closest_tlas(spec, o, d, p1, e1, e2, nrm, caabb, inst_ab,
+                         inst_rf, inst_aabb, inst_mesh, inst_obj):
+    """Forward-only INSTANCED (TLAS) search with exact derivatives.
+
+    spec: (impl, leaf, cm, ray_tile, eps). Returns (t, enc, obj, n): enc is
+    the instance-local winner id (instance * cm * leaf + mesh-local row, -1
+    miss), obj the winning instance's object id and n its unnormalized world
+    normal — both selected in-kernel. The tangent rule recomputes the
+    winner's Möller-Trumbore in the instance's OBJECT space (rays pushed
+    through the world->object affine), so gradients are exact w.r.t. rays,
+    unique-mesh geometry AND instance transforms while the search stays out
+    of the graph."""
+    impl, leaf, cm, ray_tile, eps = spec
+    from ..ops.pallas.mesh_intersect import mesh_closest_hit_tlas_mxu
+
+    sg = _jax.lax.stop_gradient
+    t, enc, obj, n = mesh_closest_hit_tlas_mxu(
+        sg(o), sg(d), sg(p1), sg(e1), sg(e2), sg(caabb), sg(inst_ab),
+        sg(inst_rf), sg(inst_aabb), sg(inst_mesh), sg(inst_obj), leaf=leaf,
+        cm=cm, ray_tile=ray_tile, eps=eps,
+        interpret=impl.endswith("_interpret"), tri_n=sg(nrm))
+    return t, enc, obj, n
+
+
+@_kernel_closest_tlas.defjvp
+def _kernel_closest_tlas_jvp(spec, primals, tangents):
+    (o, d, p1, e1, e2, nrm, caabb, inst_ab, inst_rf, inst_aabb, inst_mesh,
+     inst_obj) = primals
+    do, dd, dp1, de1, de2, dnrm, _, dab, _, _, _, _ = tangents
+    t, enc, obj, n = _kernel_closest_tlas(spec, *primals)
+    _, leaf, cm, _, eps = spec
+    tm = cm * leaf
+    hit_ok = enc >= 0
+    enc_c = jnp.where(hit_ok, enc, 0)
+    i_inst = enc_c // tm
+    row = inst_mesh[i_inst] * tm + (enc_c % tm)
+
+    def refined(o, d, p1, e1, e2, nrm, inst_ab):
+        A = inst_ab[i_inst, :9].reshape(-1, 3, 3)
+        b = inst_ab[i_inst, 9:]
+        o2 = jnp.einsum("rij,rj->ri", A, o) + b
+        d2 = jnp.einsum("rij,rj->ri", A, d)
+        t_ref, _, _, _ = intersect.triangle(
+            o2, d2, p1[row], e1[row], e2[row], eps)
+        n_ref = jnp.einsum("rk,rka->ra", nrm[row], A)
+        return t_ref, n_ref
+
+    _, (dt, dn) = _jax.jvp(refined, (o, d, p1, e1, e2, nrm, inst_ab),
+                           (do, dd, dp1, de1, de2, dnrm, dab))
+    dt = jnp.where(hit_ok, dt, 0.0)
+    dn = jnp.where(hit_ok[:, None], dn, 0.0)
+    z0 = lambda x: _np.zeros(x.shape, dtype=_jax.dtypes.float0)
+    return (t, enc, obj, n), (dt, z0(enc), z0(obj), dn)
+
+
+def _tlas_closest(scene: Scene, o, d, cfg: RenderConfig, impl: str):
+    """Dispatch the TLAS closest-hit kernel: (t, enc, obj, n_unnormalized).
+    t is already BIG on miss; enc == -1, obj == 0, n == 0 there.
+
+    128-ray tiles (vs the flat kernel's 512): instance visits are the unit
+    of kernel work, and a tile visits every instance ANY of its rays
+    overlaps — tighter tiles shed whole instance visits, measured 15% on
+    the 90-cow herd."""
+    st = scene.static
+    tl = scene.tlas
+    spec = (impl, st.cluster_size, st.tlas_cm,
+            min(128, max(128, o.shape[0])), cfg.epsilon)
+    return _kernel_closest_tlas(
+        spec, o, d, tl.p1, tl.e1, tl.e2, tl.n, tl.caabb, tl.inst_ab,
+        tl.inst_rf, tl.inst_aabb, tl.inst_mesh, tl.inst_obj)
+
+
+def _use_tlas(scene: Scene, cfg: RenderConfig, impl: str) -> bool:
+    """The instanced path serves flat multi-instance scenes on the mxu
+    backend; primitive sharding keeps the world-table path (its shards
+    carry a valid local structure — instance sharding is handled at the
+    shard.py level by slicing the instance tables instead)."""
+    return bool(scene.static.tlas_n_inst) and impl.startswith("mxu") \
+        and cfg.prim_axis is None
+
+
 def _resolve_mesh_impl(scene: Scene, cfg: RenderConfig, dtype) -> str:
     impl = cfg.mesh_impl
     if impl == "auto":
@@ -333,6 +415,15 @@ def mesh_closest(scene: Scene, o, d, cfg: RenderConfig, want_n: bool = False):
     impl = _resolve_mesh_impl(scene, cfg, o.dtype)
 
     if impl in _KERNEL_IMPLS:
+        if _use_tlas(scene, cfg, impl):
+            # instanced scene: the TLAS kernel reports instance-local
+            # winners; map them to world-table rows (one (R,) gather) to
+            # keep this API's contract identical across backends
+            t, enc, _, n_pay = _tlas_closest(scene, o, d, cfg, impl)
+            hit_ok = enc >= 0
+            enc_c = jnp.where(hit_ok, enc, 0)
+            idx_c = jnp.take(scene.tlas.gid.reshape(-1), enc_c)
+            return (t, idx_c, normalize(n_pay)) if want_n else (t, idx_c)
         # the traversal schedule is computed IN-KERNEL per tile (exact
         # per-ray slab tests, front-to-back): no XLA-side schedule pass,
         # no HBM schedule tables
@@ -410,6 +501,26 @@ def closest_hit(scene: Scene, o, d, cfg: RenderConfig) -> HitInfo:
     tri_obj = jnp.zeros((R,), jnp.int32)
     tri_n = jnp.zeros_like(o)
     if st.n_tris:
+        impl_ch = _resolve_mesh_impl(scene, cfg, o.dtype)
+        if impl_ch in _KERNEL_IMPLS and _use_tlas(scene, cfg, impl_ch):
+            # instanced fast path: t, winner id, OBJECT ID and world normal
+            # all come out of the kernel — zero XLA-side (R,) gathers. The
+            # world-table row (hit.tri) is only materialized when the
+            # refraction census will read it.
+            t_t, enc, tri_obj, n_pay = _tlas_closest(
+                scene, o, d, cfg, impl_ch)
+            tri_n = normalize(n_pay)
+            enc_c = jnp.where(enc >= 0, enc, 0)
+            idx_t = (jnp.take(scene.tlas.gid.reshape(-1), enc_c)
+                     if st.refr_mesh_obj_ids else enc_c)
+            is_tri = t_t < t_p
+            t_hit = jnp.where(is_tri, t_t, t_p)
+            valid = t_hit < BIG * 0.5
+            prim_obj = (scene.prim_obj[idx_p] if st.n_prims
+                        else jnp.zeros((R,), jnp.int32))
+            obj = jnp.where(is_tri, tri_obj, prim_obj)
+            return HitInfo(t=t_hit, valid=valid, obj=obj, prim=idx_p,
+                           tri=idx_t, is_tri=is_tri, tri_n=tri_n)
         t_t, idx_t, n_k = mesh_closest(scene, o, d, cfg, want_n=True)
         if st.single_tri_obj >= 0:
             # single-mesh scene: skip the (R,)-row gather (~19 ms/sweep at
@@ -608,20 +719,32 @@ def is_shadowed(scene: Scene, point, cfg: RenderConfig, live=None):
                 valid & (t >= 0.0) & (t < distance[:, None, None]), axis=(1, 2))
         if st.n_tris:
             from ..ops.pallas.mesh_intersect import (
-                mesh_any_hit_mxu, mesh_any_hit_pallas)
+                mesh_any_hit_mxu, mesh_any_hit_pallas, mesh_any_hit_tlas_mxu)
 
             sg = jax.lax.stop_gradient
-            fn = (mesh_any_hit_mxu if impl.startswith("mxu")
-                  else mesh_any_hit_pallas)
-            found = fn(
-                sg(point), sg(direction), sg(distance),
-                sg(scene.tri_p1), sg(scene.tri_e1), sg(scene.tri_e2),
-                sg(scene.cluster_aabb), sg(scene.super_aabb),
-                n_super=st.n_super, leaf=st.cluster_size,
-                ray_tile=min(512, max(128, point.shape[0])),
-                eps=cfg.epsilon,
-                interpret=impl.endswith("_interpret"),
-            )
+            if _use_tlas(scene, cfg, impl):
+                tl = scene.tlas
+                found = mesh_any_hit_tlas_mxu(
+                    sg(point), sg(direction), sg(distance),
+                    sg(tl.p1), sg(tl.e1), sg(tl.e2), sg(tl.caabb),
+                    sg(tl.inst_rf), sg(tl.inst_aabb), sg(tl.inst_mesh),
+                    leaf=st.cluster_size, cm=st.tlas_cm,
+                    ray_tile=min(128, max(128, point.shape[0])),
+                    eps=cfg.epsilon,
+                    interpret=impl.endswith("_interpret"),
+                )
+            else:
+                fn = (mesh_any_hit_mxu if impl.startswith("mxu")
+                      else mesh_any_hit_pallas)
+                found = fn(
+                    sg(point), sg(direction), sg(distance),
+                    sg(scene.tri_p1), sg(scene.tri_e1), sg(scene.tri_e2),
+                    sg(scene.cluster_aabb), sg(scene.super_aabb),
+                    n_super=st.n_super, leaf=st.cluster_size,
+                    ray_tile=min(512, max(128, point.shape[0])),
+                    eps=cfg.epsilon,
+                    interpret=impl.endswith("_interpret"),
+                )
             if cfg.prim_axis is not None:
                 # each device saw only its triangle shard: occluded anywhere
                 # == OR across the 'prims' axis (one small ICI all-reduce)
