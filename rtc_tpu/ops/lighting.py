@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .vec import dot, normalize, reflect
+from .vec import dot3, normalize3, pack3, unpack3
 
 
 def lighting(
@@ -29,23 +29,40 @@ def lighting(
     normalv,           # (..., 3)
     in_shadow,         # (...,) bool
 ):
-    effective = surface_color * light_intensity
-    lightv = normalize(light_position - point)
+    # component (SoA) math throughout: (R, 3) intermediates run at 3/128
+    # VPU lane occupancy on TPU (see vec.unpack3)
+    scx, scy, scz = unpack3(surface_color)
+    lix, liy, liz = unpack3(light_intensity * jnp.ones_like(surface_color))
+    px, py, pz = unpack3(point)
+    ex, ey, ez = unpack3(eyev)
+    nx, ny, nz = unpack3(normalv)
+    lp = light_position * jnp.ones_like(surface_color)
+    lpx, lpy, lpz = unpack3(lp)
 
-    amb = effective * ambient[..., None]
+    # every multiply/add below mirrors the AoS formulation EXACTLY (same
+    # association order), so f64 goldens stay bit-stable
+    efx, efy, efz = scx * lix, scy * liy, scz * liz
+    lvx, lvy, lvz = normalize3(lpx - px, lpy - py, lpz - pz)
 
-    ldn = dot(lightv, normalv)
+    ldn = dot3(lvx, lvy, lvz, nx, ny, nz)
     lit = (~in_shadow) & (ldn >= 0.0)
+    dl = diffuse * ldn
+    dfx = jnp.where(lit, efx * dl, 0.0)
+    dfy = jnp.where(lit, efy * dl, 0.0)
+    dfz = jnp.where(lit, efz * dl, 0.0)
 
-    diff = effective * (diffuse * ldn)[..., None]
-    diff = jnp.where(lit[..., None], diff, 0.0)
-
-    reflectv = reflect(-lightv, normalv)
-    rde = dot(reflectv, eyev)
+    # reflect(-lightv, normalv)
+    k = 2.0 * dot3(-lvx, -lvy, -lvz, nx, ny, nz)
+    rx, ry, rz = -lvx - nx * k, -lvy - ny * k, -lvz - nz * k
+    rde = dot3(rx, ry, rz, ex, ey, ez)
     spec_on = lit & (rde > 0.0)
     # Guard pow against negative bases (gradient safety); masked out anyway.
     factor = jnp.where(spec_on, jnp.maximum(rde, 1e-30), 1.0) ** shininess
-    spec = light_intensity * (specular * factor)[..., None]
-    spec = jnp.where(spec_on[..., None], spec, 0.0)
+    sf = specular * factor
+    spx = jnp.where(spec_on, lix * sf, 0.0)
+    spy = jnp.where(spec_on, liy * sf, 0.0)
+    spz = jnp.where(spec_on, liz * sf, 0.0)
 
-    return amb + diff + spec
+    return pack3(efx * ambient + dfx + spx,
+                 efy * ambient + dfy + spy,
+                 efz * ambient + dfz + spz)

@@ -25,7 +25,8 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..ops import intersect, lighting, normals, patterns
-from ..ops.vec import dot, normalize, reflect, safe_sqrt
+from ..ops.vec import (dot, dot3, normalize, normalize3, pack3, reflect,
+                       safe_sqrt, unpack3)
 from ..utils.config import RenderConfig
 from ..utils.constants import BIG
 from ..scene.compile import Scene
@@ -423,7 +424,8 @@ def mesh_closest(scene: Scene, o, d, cfg: RenderConfig, want_n: bool = False):
             hit_ok = enc >= 0
             enc_c = jnp.where(hit_ok, enc, 0)
             idx_c = jnp.take(scene.tlas.gid.reshape(-1), enc_c)
-            return (t, idx_c, normalize(n_pay)) if want_n else (t, idx_c)
+            n = pack3(*normalize3(*unpack3(n_pay))) if want_n else None
+            return (t, idx_c, n) if want_n else (t, idx_c)
         # the traversal schedule is computed IN-KERNEL per tile (exact
         # per-ray slab tests, front-to-back): no XLA-side schedule pass,
         # no HBM schedule tables
@@ -509,7 +511,7 @@ def closest_hit(scene: Scene, o, d, cfg: RenderConfig) -> HitInfo:
             # refraction census will read it.
             t_t, enc, tri_obj, n_pay = _tlas_closest(
                 scene, o, d, cfg, impl_ch)
-            tri_n = normalize(n_pay)
+            tri_n = pack3(*normalize3(*unpack3(n_pay)))
             enc_c = jnp.where(enc >= 0, enc, 0)
             idx_t = (jnp.take(scene.tlas.gid.reshape(-1), enc_c)
                      if st.refr_mesh_obj_ids else enc_c)
@@ -1011,6 +1013,10 @@ def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None):
 
     # pattern-space sampling; pattern-less objects read the material color
     # directly (keeping mat_color a live differentiable parameter)
+    # NOTE: keep the einsum form bit-for-bit — pattern coords on
+    # axis-aligned geometry land systematically near floor() cell
+    # boundaries, so any reassociation flips ~4% of patterned pixels
+    # (observed on the table goldens)
     pat_kind = rec["pat_kind"]
     pat_p = jnp.einsum("rij,rj->ri", rec["pat_inv"][:, :, :3], point) + rec["pat_inv"][:, :, 3]
     base_color = patterns.color_at(pat_p, pat_kind, rec["pat_a"], rec["pat_b"])

@@ -41,12 +41,15 @@ def _shade_rays(scene: Scene, o, d, cfg: RenderConfig):
 
     def one_tile(od):
         ot, dt = od
-        return integrator.color_at(scene, ot, dt, cfg)
+        # emit (3, tile): the map's stacked writes then have rays on the
+        # minor (lane) dim — a (tile, 3) write runs at 3/128 lane occupancy
+        # (~13 ms/frame of dynamic-update-slice at 1080p on v5 lite)
+        return integrator.color_at(scene, ot, dt, cfg).T
 
     colors = jax.lax.map(
         one_tile, (o.reshape(n_tiles, tile, 3), d.reshape(n_tiles, tile, 3))
-    )
-    return colors.reshape(-1, 3)[:n_rays]
+    )  # (n_tiles, 3, tile)
+    return colors.transpose(0, 2, 1).reshape(-1, 3)[:n_rays]
 
 
 @jax.jit

@@ -5,6 +5,16 @@ so these goldens are OUR f64 renders, frozen after the conformance suite
 (231 book tests) validated the semantics. They pin end-to-end behavior across
 refactors: any change to intersection, shading, patterns, shadows,
 reflection/refraction, or mesh handling shows up as a pixel diff.
+
+Regen log: round 4 (SoA shading refactor) — 11/12 scenes bit-stable
+(<=1.4e-13); `table` re-frozen with 20/512 (w32) and 3207/80000 (w400)
+pattern-cell flips (max 0.053). The table scene computes pattern coords that
+land systematically near floor() cell boundaries on its axis-aligned cubes,
+so ANY change in XLA fusion (FMA association) of the hit-point math flips a
+speckle of knife-edge pattern lookups; each flipped pixel is the alternative
+legitimate cell color. Semantics stay pinned independently by
+tests/test_oracle.py (1e-9 vs a from-scratch NumPy transliteration of the
+reference) and the book-conformance suite.
 """
 
 import os
