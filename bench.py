@@ -12,9 +12,10 @@ sweep + one shadow sweep per live bounce-tree node (cow scene: reflective
 material -> 2 nodes at budget 5 -> 4 sweeps/pixel).
 
 --scene=NAME benches another registry scene (teapot_smooth, glass_teapot,
-cow_herd, ...). --suite additionally benches the non-flagship rows
-(smooth / refractive / 523k-tri streaming) and prints each as a JSON line
-to STDERR, keeping the cow line as the single stdout metric.
+cow_herd, ...). The suite rows (smooth / refractive / 523k-tri streaming /
+instanced-smooth) are benched BY DEFAULT and printed as JSON lines to
+STDERR, keeping the cow line as the single stdout metric — so every
+BASELINE.md row regenerates on each driver run. --no-suite skips them.
 """
 
 import json
@@ -164,7 +165,7 @@ def main() -> int:
     parity = "--no-parity" not in sys.argv
 
     row = bench_scene(scene_name, width, tile, parity)
-    if "--suite" in sys.argv:
+    if "--no-suite" not in sys.argv:
         for extra in SUITE_SCENES:
             if extra != scene_name:
                 print(json.dumps(bench_scene(extra, width, tile, False)),

@@ -13,6 +13,24 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+# Deliberate, documented deviation from the reference: every floor()-based
+# pattern (stripe/ring/checkers) nudges its pattern-space coordinate by
+# +PATTERN_EPS before flooring. The reference samples patterns in scalar f64
+# (src/pattern.rs:68-95) where axis-aligned geometry lands pattern coordinates
+# EXACTLY on integer cell boundaries and the scalar evaluation order keeps the
+# floor stable for free. Our wavefront path computes hit points through fused
+# f32/f64 matmuls whose association order XLA may change on any refactor, so
+# coordinates that land exactly on a boundary k flip between cells k-1 and k
+# with ~1e-6 fusion noise (observed: ~4% of `table` pixels re-flipping per
+# refactor). The nudge moves the decision boundary from k (where axis-aligned
+# geometry systematically lands) to k - PATTERN_EPS (where nothing lands), so
+# a coordinate within +-PATTERN_EPS of a cell boundary deterministically reads
+# cell k regardless of fusion order. Cells are size 1 in pattern space, so the
+# 1e-4 shift is visually nil; book conformance points sit >=0.01 from every
+# boundary. Gradient is untouched (continuous lerp -> no parity to flip).
+# tests/oracle.py carries the same nudge so the 1e-9 cross-check holds.
+PATTERN_EPS = 1e-4
+
 NONE = -1
 STRIPE = 0
 GRADIENT = 1
@@ -28,8 +46,8 @@ def _parity_even(v):
 
 
 def stripe(p, a, b):
-    """(reference: src/pattern.rs:70-76)"""
-    cond = _parity_even(jnp.floor(p[..., 0]))
+    """(reference: src/pattern.rs:70-76; boundary-nudged, see PATTERN_EPS)"""
+    cond = _parity_even(jnp.floor(p[..., 0] + PATTERN_EPS))
     return jnp.where(cond[..., None], a, b)
 
 
@@ -42,13 +60,15 @@ def gradient(p, a, b):
 def ring(p, a, b):
     """xz radial rings (reference: src/pattern.rs:78-84)."""
     r = jnp.sqrt(p[..., 0] ** 2 + p[..., 2] ** 2)
-    cond = _parity_even(jnp.floor(r))
+    cond = _parity_even(jnp.floor(r + PATTERN_EPS))
     return jnp.where(cond[..., None], a, b)
 
 
 def checkers(p, a, b):
     """3D checkerboard (reference: src/pattern.rs:85-91)."""
-    s = jnp.floor(p[..., 0]) + jnp.floor(p[..., 1]) + jnp.floor(p[..., 2])
+    s = (jnp.floor(p[..., 0] + PATTERN_EPS)
+         + jnp.floor(p[..., 1] + PATTERN_EPS)
+         + jnp.floor(p[..., 2] + PATTERN_EPS))
     cond = _parity_even(s)
     return jnp.where(cond[..., None], a, b)
 

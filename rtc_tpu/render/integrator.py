@@ -25,7 +25,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..ops import intersect, lighting, normals, patterns
-from ..ops.vec import (dot, dot3, normalize, normalize3, pack3, reflect,
+from ..ops.vec import (dot, normalize, normalize3, pack3, reflect,
                        safe_sqrt, unpack3)
 from ..utils.config import RenderConfig
 from ..utils.constants import BIG
@@ -33,6 +33,12 @@ from ..scene.compile import Scene
 
 # kind codes (scene.shapes.KIND_CODES)
 SPHERE, PLANE, CUBE, CYLINDER, CONE = 0, 1, 2, 3, 4
+
+# TLAS kernels always tile rays at 128 (vs the flat kernel's adaptive
+# min(512, max(128, R))): instance visits are the unit of kernel work, and a
+# tile visits every instance ANY of its rays overlaps — tighter fixed tiles
+# shed whole instance visits, measured 15% on the 90-cow herd.
+TLAS_RAY_TILE = 128
 
 
 class HitInfo(NamedTuple):
@@ -347,25 +353,23 @@ def _kernel_closest_tlas_jvp(spec, primals, tangents):
 def _tlas_closest(scene: Scene, o, d, cfg: RenderConfig, impl: str):
     """Dispatch the TLAS closest-hit kernel: (t, enc, obj, n_unnormalized).
     t is already BIG on miss; enc == -1, obj == 0, n == 0 there.
-
-    128-ray tiles (vs the flat kernel's 512): instance visits are the unit
-    of kernel work, and a tile visits every instance ANY of its rays
-    overlaps — tighter tiles shed whole instance visits, measured 15% on
-    the 90-cow herd."""
+    Rays tile at TLAS_RAY_TILE (see the constant's comment)."""
     st = scene.static
     tl = scene.tlas
-    spec = (impl, st.cluster_size, st.tlas_cm,
-            min(128, max(128, o.shape[0])), cfg.epsilon)
+    spec = (impl, st.cluster_size, st.tlas_cm, TLAS_RAY_TILE, cfg.epsilon)
     return _kernel_closest_tlas(
         spec, o, d, tl.p1, tl.e1, tl.e2, tl.n, tl.caabb, tl.inst_ab,
         tl.inst_rf, tl.inst_aabb, tl.inst_mesh, tl.inst_obj)
 
 
 def _use_tlas(scene: Scene, cfg: RenderConfig, impl: str) -> bool:
-    """The instanced path serves flat multi-instance scenes on the mxu
-    backend; primitive sharding keeps the world-table path (its shards
-    carry a valid local structure — instance sharding is handled at the
-    shard.py level by slicing the instance tables instead)."""
+    """The instanced path serves multi-instance scenes on the mxu backend.
+    Under primitive sharding (cfg.prim_axis set) the integrator falls back
+    to the flat world-table path: the triangle shards each carry a valid
+    local cluster structure and partial hits combine min-by-t over the
+    'prims' axis, while the TLAS tables stay replicated and UNUSED. Sharding
+    the instance tables themselves is not implemented (a prim-sharded
+    instanced scene pays the flat-table cost)."""
     return bool(scene.static.tlas_n_inst) and impl.startswith("mxu") \
         and cfg.prim_axis is None
 
@@ -731,7 +735,7 @@ def is_shadowed(scene: Scene, point, cfg: RenderConfig, live=None):
                     sg(tl.p1), sg(tl.e1), sg(tl.e2), sg(tl.caabb),
                     sg(tl.inst_rf), sg(tl.inst_aabb), sg(tl.inst_mesh),
                     leaf=st.cluster_size, cm=st.tlas_cm,
-                    ray_tile=min(128, max(128, point.shape[0])),
+                    ray_tile=TLAS_RAY_TILE,
                     eps=cfg.epsilon,
                     interpret=impl.endswith("_interpret"),
                 )
@@ -1012,11 +1016,10 @@ def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None):
     under = jnp.where(valid[:, None], comps.under_point, far)
 
     # pattern-space sampling; pattern-less objects read the material color
-    # directly (keeping mat_color a live differentiable parameter)
-    # NOTE: keep the einsum form bit-for-bit — pattern coords on
-    # axis-aligned geometry land systematically near floor() cell
-    # boundaries, so any reassociation flips ~4% of patterned pixels
-    # (observed on the table goldens)
+    # directly (keeping mat_color a live differentiable parameter).
+    # Boundary-robust: patterns.PATTERN_EPS nudges cell lookups off the
+    # floor() boundaries that axis-aligned geometry lands on, so this einsum
+    # (and XLA's fusion of it) is free to reassociate.
     pat_kind = rec["pat_kind"]
     pat_p = jnp.einsum("rij,rj->ri", rec["pat_inv"][:, :, :3], point) + rec["pat_inv"][:, :, 3]
     base_color = patterns.color_at(pat_p, pat_kind, rec["pat_a"], rec["pat_b"])

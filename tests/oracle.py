@@ -325,20 +325,28 @@ def schlick(c):
     return r0 + (1.0 - r0) * (1.0 - cos) ** 5
 
 
+PATTERN_EPS = 1e-4  # mirrors rtc_tpu.ops.patterns.PATTERN_EPS (boundary nudge)
+
+
 def pattern_color_at(pat, point):
     """src/pattern.rs:68-95. Rust's % is remainder; parity outcomes agree
-    with Python's floored % for the floor-valued operands used here."""
+    with Python's floored % for the floor-valued operands used here.
+    Carries the framework's documented PATTERN_EPS boundary nudge (the one
+    deliberate deviation from the reference) so the 1e-9 cross-check holds
+    on knife-edge pattern cells — see rtc_tpu/ops/patterns.py."""
     a = np.asarray(pat.a, np.float64)
     b = np.asarray(pat.b, np.float64)
     if pat.kind == P_STRIPE:
-        return a if math.floor(point[0]) % 2.0 == 0.0 else b
+        return a if math.floor(point[0] + PATTERN_EPS) % 2.0 == 0.0 else b
     if pat.kind == P_GRADIENT:
         return a + (b - a) * (point[0] - math.floor(point[0]))
     if pat.kind == P_RING:
         r = math.sqrt(point[0] ** 2 + point[2] ** 2)
-        return a if math.floor(r) % 2.0 == 0.0 else b
+        return a if math.floor(r + PATTERN_EPS) % 2.0 == 0.0 else b
     if pat.kind == P_CHECKERS:
-        s = math.floor(point[0]) + math.floor(point[1]) + math.floor(point[2])
+        s = (math.floor(point[0] + PATTERN_EPS)
+             + math.floor(point[1] + PATTERN_EPS)
+             + math.floor(point[2] + PATTERN_EPS))
         return a if s % 2.0 == 0.0 else b
     if pat.kind == P_TEST:
         return np.array(point[:3], np.float64)
