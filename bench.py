@@ -102,7 +102,8 @@ def check_kernel_parity(scene, cam, cfg) -> None:
           f"occlusion diffs={nd}/{R}", file=sys.stderr)
 
 
-SUITE_SCENES = ("teapot_smooth", "glass_teapot", "cow_herd")
+SUITE_SCENES = ("teapot_smooth", "glass_teapot", "cow_herd",
+                "cow_herd_smooth")
 
 
 def bench_scene(scene_name: str, width: int, tile: int, parity: bool) -> dict:

@@ -259,7 +259,20 @@ def pumpkin(width: int = 400):
         [8, 6, -8], [0, 3, 0], width, smooth=True)
 
 
-def cow_herd_world(nx: int = 10, nz: int = 9) -> World:
+def cow_herd_smooth_world(nx: int = 10, nz: int = 9) -> World:
+    """cow_herd with SMOOTH (Phong-interpolated) shading: every cow carries
+    per-vertex normals, so the instanced TLAS path must blend corner normals
+    in-kernel (scene/compile.py _build_tlas with sn; the smooth-triangle
+    capability the reference stubs at src/intersection.rs:381-386, composed
+    with instancing)."""
+    return cow_herd_world(nx, nz, smooth=True)
+
+
+def cow_herd_smooth(width: int = 400):
+    return cow_herd_smooth_world(), _cam(width, [0, 14, -24], [0, 3, 10])
+
+
+def cow_herd_world(nx: int = 10, nz: int = 9, smooth: bool = False) -> World:
     """Large-scene stress: an nx x nz grid of cow meshes (default 90 cows =
     522,360 triangles) — ~10x over the MXU kernel's VMEM triangle budget, so
     the closest-hit/any-hit sweeps stream cluster superblocks through VMEM
@@ -269,7 +282,7 @@ def cow_herd_world(nx: int = 10, nz: int = 9) -> World:
     cows = []
     for i in range(nx):
         for j in range(nz):
-            c = parser.obj_to_group()
+            c = parser.obj_to_group(smooth=smooth)
             # non-uniform spacing/heading so AABBs don't align degenerately
             c.set_transform(_mm(
                 X.translation(3.0 * (i - (nx - 1) / 2.0), 3.5,
@@ -376,6 +389,7 @@ REGISTRY: Dict[str, Callable[[int], Tuple[World, Camera]]] = {
     "pumpkin": pumpkin,
     "teddy": teddy,
     "cow_herd": cow_herd,
+    "cow_herd_smooth": cow_herd_smooth,
     "single_sphere": single_sphere,
     "three_spheres": three_spheres,
     "glass_spheres": glass_spheres,

@@ -30,6 +30,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...utils.constants import BIG, EPSILON
 
+# v5e cores carry 128 MiB of VMEM; Mosaic's default scoped-vmem limit is
+# ~16 MiB, which capped the kernel ray tile at 512. Raising it lets large
+# tiles (2048+) amortize the per-grid-step overhead that dominates sweep
+# time on scenes with sparse schedules (see BASELINE.md roofline).
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def _slab_overlap(ref, i, ox, oy, oz, ix, iy, iz):
     """Tile-wide AABB slab test against box i of an SMEM (6, N) table.
@@ -784,7 +790,7 @@ def _slab_full(rayf_ref, aabb_ref):
 def _kernel_mxu_tlas(rayf_ref, feat_ref, nrm_ref, caabb_ref, iaabb_ref,
                      rf_ref, ab_ref, imesh_ref, iobj_ref, t_ref,
                      idx_ref, obj_ref, *refs, leaf: int, cm: int, eps: float,
-                     with_n: bool):
+                     with_n: bool, with_sn: bool = False):
     """Two-level instanced closest hit (TLAS): the OUTER carried-selection
     loop pops instances front-to-back by world-AABB entry t; each visit
     transforms the ray tile into that instance's object space
@@ -799,7 +805,11 @@ def _kernel_mxu_tlas(rayf_ref, feat_ref, nrm_ref, caabb_ref, iaabb_ref,
     gather). with_n selects the winner's OBJECT-space face normal and
     rotates it to world in-registers (n_world = n_obj @ A, the row-vector
     inverse-transpose transform of src/shape.rs:623-635; normalized by the
-    caller)."""
+    caller). with_sn (smooth instanced meshes — the smooth-triangle
+    capability the reference stubs at src/intersection.rs:381-386) reads
+    nrm_ref as the (9, Tu) OBJECT-space corner-normal slab instead, blends
+    the winner's corners with its barycentric (u, v) in-kernel, and pushes
+    the blend through the same instance inverse-transpose."""
     rayf = rayf_ref[:, :]
     big = jnp.float32(BIG)
     rt = rayf.shape[0]
@@ -807,12 +817,14 @@ def _kernel_mxu_tlas(rayf_ref, feat_ref, nrm_ref, caabb_ref, iaabb_ref,
 
     gate = _union_gate(rayf_ref, iaabb_ref)
 
+    want_pay = with_n or with_sn
+
     @pl.when(jnp.logical_not(gate))
     def _skip():
         t_ref[0, :] = jnp.full((rt,), big, jnp.float32)
         idx_ref[0, :] = jnp.full((rt,), -1, jnp.int32)
         obj_ref[0, :] = jnp.zeros((rt,), jnp.int32)
-        if with_n:
+        if want_pay:
             refs[0][0, :] = jnp.zeros((rt,), jnp.float32)
             refs[0][1, :] = jnp.zeros((rt,), jnp.float32)
             refs[0][2, :] = jnp.zeros((rt,), jnp.float32)
@@ -858,8 +870,9 @@ def _kernel_mxu_tlas(rayf_ref, feat_ref, nrm_ref, caabb_ref, iaabb_ref,
                 """Test cluster c of this instance; gate=False makes it a
                 no-op (the possibly-empty second slot of a paired
                 iteration)."""
-                t, ok = _mt_cluster_mxu(rayf2, feat_ref, mi * cm + c, leaf,
-                                        eps)
+                mt = _mt_cluster_mxu(rayf2, feat_ref, mi * cm + c, leaf,
+                                     eps, with_uv=with_sn)
+                t, ok = mt[0], mt[1]
                 tt = jnp.where(ok, t, big)
                 tmin_c = jnp.min(tt, axis=1)
                 lane = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1)
@@ -867,12 +880,28 @@ def _kernel_mxu_tlas(rayf_ref, feat_ref, nrm_ref, caabb_ref, iaabb_ref,
                     jnp.where(tt <= tmin_c[:, None], lane, jnp.int32(2**30)),
                     axis=1)
                 better = (tmin_c < t_best) & gate
-                if with_n:
+                if want_pay:
                     onehot = lane == local[:, None]
                     s = pl.ds(pl.multiple_of((mi * cm + c) * leaf, leaf),
                               leaf)
-                    no = [jnp.sum(jnp.where(onehot, nrm_ref[k, s][None, :],
-                                            0.0), axis=1) for k in range(3)]
+                    if with_sn:
+                        # blend the winner's OBJECT-space corner normals
+                        # with its barycentric (u, v):
+                        # n_obj = (1-u-v) sn1 + u sn2 + v sn3
+                        u = jnp.sum(jnp.where(onehot, mt[2], 0.0), axis=1)
+                        v = jnp.sum(jnp.where(onehot, mt[3], 0.0), axis=1)
+                        w0 = 1.0 - u - v
+                        no = [
+                            w0 * jnp.sum(jnp.where(
+                                onehot, nrm_ref[ax, s][None, :], 0.0), axis=1)
+                            + u * jnp.sum(jnp.where(
+                                onehot, nrm_ref[3 + ax, s][None, :], 0.0), axis=1)
+                            + v * jnp.sum(jnp.where(
+                                onehot, nrm_ref[6 + ax, s][None, :], 0.0), axis=1)
+                            for ax in range(3)]
+                    else:
+                        no = [jnp.sum(jnp.where(onehot, nrm_ref[k, s][None, :],
+                                                0.0), axis=1) for k in range(3)]
                     # n_world = n_obj @ A (A row-major in ab_ref[i, 0:9])
                     nw = [no[0] * ab_ref[i, ax] + no[1] * ab_ref[i, 3 + ax]
                           + no[2] * ab_ref[i, 6 + ax] for ax in range(3)]
@@ -935,14 +964,14 @@ def _kernel_mxu_tlas(rayf_ref, feat_ref, nrm_ref, caabb_ref, iaabb_ref,
         init = (work0, m0, i0, jnp.max(t_best0), t_best0,
                 jnp.full((rt,), -1, jnp.int32),
                 jnp.zeros((rt,), jnp.int32))
-        if with_n:
+        if want_pay:
             z = jnp.zeros((rt,), jnp.float32)
             init = init + (z, z, z)
         out = jax.lax.while_loop(cond_i, body_i, init)
         t_ref[0, :] = out[4]
         idx_ref[0, :] = out[5]
         obj_ref[0, :] = out[6]
-        if with_n:
+        if want_pay:
             refs[0][0, :] = out[7]
             refs[0][1, :] = out[8]
             refs[0][2, :] = out[9]
@@ -1033,7 +1062,8 @@ def mesh_closest_hit_tlas_mxu(o, d, p1, e1, e2, caabb, inst_ab, inst_rf,
                               inst_aabb, inst_mesh, inst_obj, leaf: int,
                               cm: int, ray_tile: int = 512,
                               eps: float = EPSILON,
-                              interpret: bool = False, tri_n=None):
+                              interpret: bool = False, tri_n=None,
+                              tri_sn=None):
     """Closest hit over INSTANCED geometry (two-level TLAS kernel).
 
     p1/e1/e2: (M * cm * leaf, 3) unique meshes in OBJECT space; caabb:
@@ -1042,7 +1072,10 @@ def mesh_closest_hit_tlas_mxu(o, d, p1, e1, e2, caabb, inst_ab, inst_rf,
     inst_mesh/inst_obj: (I,) i32 unique-mesh index / object id. tri_n:
     optional (M*cm*leaf, 3) OBJECT-space face normals — the winner's normal
     is selected and rotated to world in-kernel (returned UNNORMALIZED;
-    zeros on miss).
+    zeros on miss). tri_sn: optional (M*cm*leaf, 9) OBJECT-space corner
+    normals [sn1|sn2|sn3] — the winner's corners are blended with its
+    (u, v) in-kernel and rotated to world (smooth instanced meshes);
+    mutually exclusive with tri_n.
 
     Returns (t, enc, obj[, n]): enc = instance * (cm * leaf) + mesh-local
     row, -1 on miss (t = BIG, obj = 0 there); obj = the winning instance's
@@ -1068,17 +1101,20 @@ def mesh_closest_hit_tlas_mxu(o, d, p1, e1, e2, caabb, inst_ab, inst_rf,
     ab = inst_ab.astype(jnp.float32)                     # (I, 12)
     imesh = inst_mesh.astype(jnp.int32)[:, None]         # (I, 1)
     iobj = inst_obj.astype(jnp.int32)[:, None]           # (I, 1)
+    assert tri_n is None or tri_sn is None
     with_n = tri_n is not None
+    with_sn = tri_sn is not None
+    want_pay = with_n or with_sn
 
     kernel = functools.partial(_kernel_mxu_tlas, leaf=leaf, cm=cm, eps=eps,
-                               with_n=with_n)
+                               with_n=with_n, with_sn=with_sn)
     in_specs = [
         pl.BlockSpec((rt, 10), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(feat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     args = [rayf, feat]
-    if with_n:
-        nrm = tri_n.astype(jnp.float32).T                # (3, Tu)
+    if with_n or with_sn:
+        nrm = (tri_n if with_n else tri_sn).astype(jnp.float32).T  # (3|9, Tu)
         in_specs.append(pl.BlockSpec(nrm.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(nrm)
@@ -1109,7 +1145,7 @@ def mesh_closest_hit_tlas_mxu(o, d, p1, e1, e2, caabb, inst_ab, inst_rf,
         jax.ShapeDtypeStruct((1, R + pad), jnp.int32),
         jax.ShapeDtypeStruct((1, R + pad), jnp.int32),
     ]
-    if with_n:
+    if want_pay:
         out_specs.append(
             pl.BlockSpec((3, rt), lambda i: (0, i), memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((3, R + pad), jnp.float32))
@@ -1120,10 +1156,11 @@ def mesh_closest_hit_tlas_mxu(o, d, p1, e1, e2, caabb, inst_ab, inst_rf,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(*args)
     t, enc, obj = out[0][0, :R], out[1][0, :R], out[2][0, :R]
     t = jnp.where(enc >= 0, t, BIG).astype(o.dtype)
-    if with_n:
+    if want_pay:
         return t, enc, obj, out[3][:, :R].T.astype(o.dtype)
     return t, enc, obj
 
@@ -1179,6 +1216,7 @@ def mesh_any_hit_tlas_mxu(o, d, max_t, p1, e1, e2, caabb, inst_rf,
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((1, R + pad), jnp.int32)],
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(rayf, m_p.astype(jnp.float32)[:, None], feat, caabb_t, iaabb_t, rf,
       imesh)
     return hit[0, :R] != 0
@@ -1419,6 +1457,7 @@ def mesh_crossing_count_mxu(o, d, t_hit, hit_gid, tri_p1, tri_e1, tri_e2,
             jax.ShapeDtypeStruct((n_containers, R + pad), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(rayf, t_p.astype(jnp.float32)[:, None], g_p.astype(jnp.int32)[:, None],
       feat, tri_cid.astype(jnp.int32)[None, :], aabb_t)
     return cnt[:, :R].T, last[:, :R].T.astype(o.dtype)
@@ -1533,6 +1572,7 @@ def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(*args)
     t, idx = out[0][0, :R], out[1][0, :R]
     # lanes whose seeded bound was never beaten carry the seed, not BIG —
@@ -1589,6 +1629,7 @@ def mesh_any_hit_mxu(o, d, max_t, tri_p1, tri_e1, tri_e2, cluster_aabb,
         out_specs=[pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((1, R + pad), jnp.int32)],
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(rayf, m_p.astype(jnp.float32)[:, None], feat, aabb_t)
     return hit[0, :R] != 0
 
@@ -1638,6 +1679,7 @@ def mesh_any_hit_pallas(o, d, max_t, tri_p1, tri_e1, tri_e2, cluster_aabb,
         out_specs=[pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((1, R + pad), jnp.int32)],
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(
         o_p.astype(jnp.float32).T,
         d_p.astype(jnp.float32).T,
@@ -1709,5 +1751,6 @@ def mesh_closest_hit_pallas(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
             jax.ShapeDtypeStruct((1, R + pad), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(o_t, d_t, p1_t, e1_t, e2_t, aabb_t, sup_t)
     return t[0, :R].astype(o.dtype), idx[0, :R]

@@ -350,13 +350,77 @@ def _kernel_closest_tlas_jvp(spec, primals, tangents):
     return (t, enc, obj, n), (dt, z0(enc), z0(obj), dn)
 
 
+@functools.partial(_jax.custom_jvp, nondiff_argnums=(0,))
+def _kernel_closest_tlas_sn(spec, o, d, p1, e1, e2, snc, caabb, inst_ab,
+                            inst_rf, inst_aabb, inst_mesh, inst_obj):
+    """_kernel_closest_tlas for SMOOTH instanced meshes: the winner's three
+    OBJECT-space corner normals (snc: (Tu, 9) = [sn1|sn2|sn3]) are blended
+    with its barycentric (u, v) IN-KERNEL and pushed through the instance
+    inverse-transpose — the smooth-triangle capability the reference stubs
+    (src/intersection.rs:381-386), composed with instancing. The tangent
+    rule recomputes the winner's Möller-Trumbore in instance object space
+    feeding the same blend, so gradients flow to rays, unique geometry,
+    corner normals AND instance transforms."""
+    impl, leaf, cm, ray_tile, eps = spec
+    from ..ops.pallas.mesh_intersect import mesh_closest_hit_tlas_mxu
+
+    sg = _jax.lax.stop_gradient
+    t, enc, obj, n = mesh_closest_hit_tlas_mxu(
+        sg(o), sg(d), sg(p1), sg(e1), sg(e2), sg(caabb), sg(inst_ab),
+        sg(inst_rf), sg(inst_aabb), sg(inst_mesh), sg(inst_obj), leaf=leaf,
+        cm=cm, ray_tile=ray_tile, eps=eps,
+        interpret=impl.endswith("_interpret"), tri_sn=sg(snc))
+    return t, enc, obj, n
+
+
+@_kernel_closest_tlas_sn.defjvp
+def _kernel_closest_tlas_sn_jvp(spec, primals, tangents):
+    (o, d, p1, e1, e2, snc, caabb, inst_ab, inst_rf, inst_aabb, inst_mesh,
+     inst_obj) = primals
+    do, dd, dp1, de1, de2, dsnc, _, dab, _, _, _, _ = tangents
+    t, enc, obj, n = _kernel_closest_tlas_sn(spec, *primals)
+    _, leaf, cm, _, eps = spec
+    tm = cm * leaf
+    hit_ok = enc >= 0
+    enc_c = jnp.where(hit_ok, enc, 0)
+    i_inst = enc_c // tm
+    row = inst_mesh[i_inst] * tm + (enc_c % tm)
+
+    def refined(o, d, p1, e1, e2, snc, inst_ab):
+        A = inst_ab[i_inst, :9].reshape(-1, 3, 3)
+        b = inst_ab[i_inst, 9:]
+        o2 = jnp.einsum("rij,rj->ri", A, o) + b
+        d2 = jnp.einsum("rij,rj->ri", A, d)
+        t_ref, _, u, v = intersect.triangle(
+            o2, d2, p1[row], e1[row], e2[row], eps)
+        g = snc[row]                                     # (R, 9)
+        w0 = (1.0 - u - v)[:, None]
+        n_obj = (w0 * g[:, 0:3] + u[:, None] * g[:, 3:6]
+                 + v[:, None] * g[:, 6:9])
+        n_ref = jnp.einsum("rk,rka->ra", n_obj, A)
+        return t_ref, n_ref
+
+    _, (dt, dn) = _jax.jvp(refined, (o, d, p1, e1, e2, snc, inst_ab),
+                           (do, dd, dp1, de1, de2, dsnc, dab))
+    dt = jnp.where(hit_ok, dt, 0.0)
+    dn = jnp.where(hit_ok[:, None], dn, 0.0)
+    z0 = lambda x: _np.zeros(x.shape, dtype=_jax.dtypes.float0)
+    return (t, enc, obj, n), (dt, z0(enc), z0(obj), dn)
+
+
 def _tlas_closest(scene: Scene, o, d, cfg: RenderConfig, impl: str):
     """Dispatch the TLAS closest-hit kernel: (t, enc, obj, n_unnormalized).
     t is already BIG on miss; enc == -1, obj == 0, n == 0 there.
-    Rays tile at TLAS_RAY_TILE (see the constant's comment)."""
+    Rays tile at TLAS_RAY_TILE (see the constant's comment). Smooth
+    instanced scenes (static.tlas_sn) route to the corner-normal-blending
+    variant."""
     st = scene.static
     tl = scene.tlas
     spec = (impl, st.cluster_size, st.tlas_cm, TLAS_RAY_TILE, cfg.epsilon)
+    if st.tlas_sn:
+        return _kernel_closest_tlas_sn(
+            spec, o, d, tl.p1, tl.e1, tl.e2, tl.sn, tl.caabb, tl.inst_ab,
+            tl.inst_rf, tl.inst_aabb, tl.inst_mesh, tl.inst_obj)
     return _kernel_closest_tlas(
         spec, o, d, tl.p1, tl.e1, tl.e2, tl.n, tl.caabb, tl.inst_ab,
         tl.inst_rf, tl.inst_aabb, tl.inst_mesh, tl.inst_obj)

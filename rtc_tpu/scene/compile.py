@@ -70,6 +70,9 @@ class SceneStatic(NamedTuple):
     tlas_n_inst: int = 0
     tlas_n_mesh: int = 0
     tlas_cm: int = 0
+    # smooth instanced meshes: TlasTables.sn carries (Tu, 9) object-space
+    # corner normals and the TLAS kernel blends them in-kernel (with_sn)
+    tlas_sn: bool = False
 
 
 class TlasTables(NamedTuple):
@@ -99,6 +102,10 @@ class TlasTables(NamedTuple):
     inst_obj: jnp.ndarray  # (I,) i32 object id per instance
     inst_mesh: jnp.ndarray  # (I,) i32 unique-mesh index per instance
     gid: jnp.ndarray       # (I, Cm * leaf) i32 -> world-table row (pad 0)
+    # (Tu, 9) OBJECT-space corner normals [sn1|sn2|sn3] for smooth
+    # instanced meshes ((0, 9) when static.tlas_sn is False); flat meshes
+    # in a mixed scene replicate the face normal so the blend is a no-op
+    sn: jnp.ndarray = None
 
 
 @dataclasses.dataclass
@@ -295,13 +302,14 @@ def _cluster_triangles(p1, e1, e2, n, obj, sn, leaf: int):
     return p1, e1, e2, n, obj, sn, aabb, sup, src
 
 
-def _cluster_mesh(p1, e1, e2, n, leaf: int):
+def _cluster_mesh(p1, e1, e2, n, leaf: int, sn=None):
     """Object-space clustering of ONE unique mesh for the TLAS tables: k-d
     reorder, chunk to `leaf`, per-cluster AABBs. Returns the padded tables,
     AABBs, and src (pre-reorder row per final row, -1 padding)."""
     t = len(p1)
     order = _kd_order(p1 + (e1 + e2) / 3.0, leaf)
     p1, e1, e2, n = p1[order], e1[order], e2[order], n[order]
+    sn = None if sn is None else sn[order]
     src = order.astype(np.int32)
     pad = (-t) % leaf
     if pad:
@@ -310,6 +318,8 @@ def _cluster_mesh(p1, e1, e2, n, leaf: int):
         e1 = np.concatenate([e1, z3])
         e2 = np.concatenate([e2, z3])
         n = np.concatenate([n, z3])
+        if sn is not None:
+            sn = np.concatenate([sn, np.zeros((pad, 9))])
         src = np.concatenate([src, np.full((pad,), -1, np.int32)])
     cm = len(p1) // leaf
     aabb = np.zeros((cm, 6))
@@ -318,22 +328,26 @@ def _cluster_mesh(p1, e1, e2, n, leaf: int):
         verts = np.concatenate([p1[s], p1[s] + e1[s], p1[s] + e2[s]])
         aabb[c, :3] = verts.min(axis=0)
         aabb[c, 3:] = verts.max(axis=0)
-    return p1, e1, e2, n, src, aabb
+    return p1, e1, e2, n, src, aabb, sn
 
 
 def _build_tlas(tri_leaves, inv_of, leaf: int, n_tris: int, tri_src,
                 leaf_offsets, n_prims: int, any_smooth: bool):
     """Instanced (TLAS) tables when the scene is many transformed copies of
-    shared mesh geometry. Eligible when: every triangle leaf is a flat mesh,
-    the world-baked table overflows the kernel VMEM budget (it would have to
-    stream superblocks), and the UNIQUE geometry fits it. Returns
+    shared mesh geometry. Eligible when: every triangle leaf is a mesh
+    (flat OR smooth), the world-baked table overflows the kernel VMEM
+    budget (it would have to stream superblocks), and the UNIQUE geometry
+    fits it. Smooth meshes additionally carry a (Tu, 9) object-space
+    corner-normal slab; the TLAS kernel blends it in-kernel (with_sn). In a
+    mixed scene a flat mesh replicates its face normal into all three
+    corners, making the blend a no-op. Returns
     (TlasTables-as-numpy | None, n_inst, n_mesh, cm)."""
     from ..ops.pallas.mesh_intersect import VMEM_TRI_BUDGET
 
-    if (any_smooth or len(tri_leaves) < 2 or n_tris <= VMEM_TRI_BUDGET
-            or any(s.kind != "mesh" or getattr(s, "vn1", None) is not None
-                   for s in tri_leaves)):
+    if (len(tri_leaves) < 2 or n_tris <= VMEM_TRI_BUDGET
+            or any(s.kind != "mesh" for s in tri_leaves)):
         return None, 0, 0, 0
+    use_sn = any(s.vn1 is not None for s in tri_leaves)
 
     import hashlib
 
@@ -342,19 +356,36 @@ def _build_tlas(tri_leaves, inv_of, leaf: int, n_tris: int, tri_src,
         h = hashlib.blake2b(digest_size=16)
         for a in (s.v1, s.v2, s.v3):
             h.update(np.ascontiguousarray(a).tobytes())
-        inst_mesh.append(unique.setdefault((h.digest(), len(s.v1)),
-                                           (len(unique), s))[0])
+        for a in (s.vn1, s.vn2, s.vn3):
+            if a is not None:
+                h.update(np.ascontiguousarray(a).tobytes())
+        inst_mesh.append(unique.setdefault(
+            (h.digest(), len(s.v1), s.vn1 is not None),
+            (len(unique), s))[0])
     meshes = [rep for (_, rep) in sorted(unique.values())]
     inst_mesh = np.asarray(inst_mesh, np.int32)
+
+    def _unit(a):
+        nrm = np.linalg.norm(a, axis=-1, keepdims=True)
+        return np.divide(a, nrm, out=np.zeros_like(a), where=nrm != 0)
 
     clustered = []
     for rep in meshes:
         e1o, e2o, no = triangle_edges(rep.v1, rep.v2, rep.v3)
-        clustered.append(_cluster_mesh(rep.v1, e1o, e2o, no, leaf))
+        sn_m = None
+        if use_sn:
+            corners = ((rep.vn1, rep.vn2, rep.vn3)
+                       if rep.vn1 is not None else (no, no, no))
+            sn_m = np.concatenate([_unit(c) for c in corners], axis=1)
+        clustered.append(_cluster_mesh(rep.v1, e1o, e2o, no, leaf, sn=sn_m))
     cm = max(c[5].shape[0] for c in clustered)
     cm = -(-cm // 8) * 8
     n_mesh = len(meshes)
-    if n_mesh * cm * leaf > VMEM_TRI_BUDGET:
+    # VMEM cost per unique triangle: 40 f32 of MT features + the payload
+    # slab (3 face-normal rows flat, 9 corner rows smooth) — shrink the
+    # budget accordingly so smooth TLAS scenes stay within the same VMEM
+    budget = VMEM_TRI_BUDGET if not use_sn else (VMEM_TRI_BUDGET * 43) // 49
+    if n_mesh * cm * leaf > budget:
         return None, 0, 0, 0
 
     tm = cm * leaf
@@ -362,16 +393,19 @@ def _build_tlas(tri_leaves, inv_of, leaf: int, n_tris: int, tri_src,
     e1 = np.zeros((n_mesh * tm, 3))
     e2 = np.zeros((n_mesh * tm, 3))
     nrm = np.zeros((n_mesh * tm, 3))
+    snc = np.zeros((n_mesh * tm, 9)) if use_sn else np.zeros((0, 9))
     caabb = np.zeros((n_mesh * cm, 6))
     caabb[:, :3] = 1.0
     caabb[:, 3:] = -1.0  # padding clusters: empty boxes, never scheduled
     mesh_src = np.full((n_mesh, tm), -1, np.int32)
-    for m, (mp1, me1, me2, mn, msrc, mab) in enumerate(clustered):
+    for m, (mp1, me1, me2, mn, msrc, mab, msn) in enumerate(clustered):
         k = len(mp1)
         p1[m * tm:m * tm + k] = mp1
         e1[m * tm:m * tm + k] = me1
         e2[m * tm:m * tm + k] = me2
         nrm[m * tm:m * tm + k] = mn
+        if use_sn:
+            snc[m * tm:m * tm + k] = msn
         mesh_src[m, :k] = msrc
         caabb[m * cm:m * cm + len(mab)] = mab
 
@@ -433,7 +467,7 @@ def _build_tlas(tri_leaves, inv_of, leaf: int, n_tris: int, tri_src,
 
     tables = dict(p1=p1, e1=e1, e2=e2, n=nrm, caabb=caabb, inst_ab=inst_ab,
                   inst_rf=inst_rf, inst_aabb=inst_aabb, inst_obj=inst_obj,
-                  inst_mesh=inst_mesh_p, gid=gid)
+                  inst_mesh=inst_mesh_p, gid=gid, sn=snc)
     return tables, i_pad, n_mesh, cm
 
 
@@ -671,6 +705,7 @@ def compile_scene(world: World, dtype=jnp.float32, cluster_size: int = 128,
         tlas_n_inst=tlas_ni,
         tlas_n_mesh=tlas_nm,
         tlas_cm=tlas_cm,
+        tlas_sn=bool(tlas_np is not None and tlas_np["sn"].shape[0]),
     )
 
     f = lambda a: jnp.asarray(a, dtype=dtype)
@@ -716,6 +751,7 @@ def compile_scene(world: World, dtype=jnp.float32, cluster_size: int = 128,
             inst_ab=f(tlas_np["inst_ab"]), inst_rf=f(tlas_np["inst_rf"]),
             inst_aabb=f(tlas_np["inst_aabb"]),
             inst_obj=i32(tlas_np["inst_obj"]),
-            inst_mesh=i32(tlas_np["inst_mesh"]), gid=i32(tlas_np["gid"])),
+            inst_mesh=i32(tlas_np["inst_mesh"]), gid=i32(tlas_np["gid"]),
+            sn=f(tlas_np["sn"])),
         static=static,
     )
