@@ -268,6 +268,110 @@ def _ray_features(o, d):
         [d, jnp.cross(o, d), o, jnp.ones_like(o[:, :1])], axis=1)
 
 
+def _ray_features_t(o, d):
+    """(10, R) TRANSPOSED ray features, built from (R,) component columns so
+    every row is a full-lane vector. The kernels' schedule math (slab tests,
+    union gates, seeds) reads (1, rt) rows out of this layout — full 128-lane
+    VPU occupancy — where the old (rt, 10) layout forced (rt, 1) column ops
+    at 1/128 occupancy (measured: the entire ~6 ms 'sky floor' of a 1.84M-ray
+    sweep was this, constant across tile sizes)."""
+    o = o.astype(jnp.float32)
+    d = d.astype(jnp.float32)
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    cx = oy * dz - oz * dy
+    cy = oz * dx - ox * dz
+    cz = ox * dy - oy * dx
+    return jnp.stack(
+        [dx, dy, dz, cx, cy, cz, ox, oy, oz, jnp.ones_like(ox)])
+
+
+def _aabb_cols(cluster_aabb):
+    """(C, 8) box table: [lo_xyz | hi_xyz | 0 0] — the transposed-schedule
+    kernels slice (C, 1) columns out of it (C is small, so the sublane-major
+    column ops are cheap; the (C, rt) outer-product slab tests put rays on
+    the lane axis)."""
+    C = cluster_aabb.shape[0]
+    return jnp.concatenate(
+        [cluster_aabb.astype(jnp.float32),
+         jnp.zeros((C, 2), jnp.float32)], axis=1)
+
+
+def _slab_entries_t(rayft_ref, aabb_ref, maxt_row=None, want_exit=False):
+    """Transposed-orientation traversal schedule. rayft_ref: (10, rt) rows
+    [d | o x d | o | 1]; aabb_ref: (C, 8) columns [lo_xyz | hi_xyz | pad].
+    maxt_row: optional (1, rt) per-ray bound.
+
+    Returns entry (C, 1): the earliest conservative entry t of any ray into
+    each cluster (BIG where no ray overlaps; empty/padding boxes masked),
+    plus (want_exit) exit (1, rt): each ray's latest conservative exit out
+    of any overlapped cluster (-BIG for rays overlapping nothing).
+
+    Same semantics as _slab_entries, different data layout: rays live on the
+    LANE axis throughout, so the per-ray work runs at full VPU occupancy and
+    the (C, rt) intermediates use C-row sublane tiles."""
+    big = jnp.float32(BIG)
+    empty = None
+    for ax in range(3):
+        e = aabb_ref[:, ax:ax + 1] > aabb_ref[:, 3 + ax:4 + ax]   # (C, 1)
+        empty = e if empty is None else (empty | e)
+    tmin = None
+    tmax = None
+    for ax in range(3):
+        dax = rayft_ref[ax:ax + 1, :]                 # (1, rt)
+        oax = rayft_ref[6 + ax:7 + ax, :]
+        near0 = jnp.abs(dax) < 1e-30
+        inv = jnp.where(near0, jnp.where(dax >= 0, big, -big),
+                        1.0 / jnp.where(near0, 1.0, dax))
+        lo = aabb_ref[:, ax:ax + 1]                   # (C, 1)
+        hi = aabb_ref[:, 3 + ax:4 + ax]
+        t1 = (lo - oax) * inv                         # (C, rt)
+        t2 = (hi - oax) * inv
+        lo_t = jnp.minimum(t1, t2)
+        hi_t = jnp.maximum(t1, t2)
+        tmin = lo_t if tmin is None else jnp.maximum(tmin, lo_t)
+        tmax = hi_t if tmax is None else jnp.minimum(tmax, hi_t)
+    ov = (tmax >= tmin) & ~empty & (tmax >= 0.0)
+    if maxt_row is not None:
+        ov = ov & (tmin < maxt_row)
+    entry_r = jnp.where(ov, jnp.maximum(tmin, 0.0), big)
+    entry = jnp.min(entry_r, axis=1, keepdims=True)   # (C, 1)
+    if want_exit:
+        exit_row = jnp.max(jnp.where(ov, tmax, -big), axis=0,
+                           keepdims=True)             # (1, rt)
+        return entry, exit_row
+    return entry
+
+
+def _union_gate_t(rayft_ref, aabb_ref, maxt_row=None):
+    """Transposed-orientation tile gate (see _union_gate): one union box vs
+    the tile's rays, all math on (1, rt) full-lane rows."""
+    big = jnp.float32(BIG)
+    lo, hi = [], []
+    for ax in range(3):
+        e = aabb_ref[:, ax:ax + 1] > aabb_ref[:, 3 + ax:4 + ax]
+        lo.append(jnp.min(jnp.where(e, big, aabb_ref[:, ax:ax + 1])))
+        hi.append(jnp.max(jnp.where(e, -big, aabb_ref[:, 3 + ax:4 + ax])))
+    tmin = None
+    tmax = None
+    for ax in range(3):
+        dax = rayft_ref[ax:ax + 1, :]
+        oax = rayft_ref[6 + ax:7 + ax, :]
+        near0 = jnp.abs(dax) < 1e-30
+        inv = jnp.where(near0, jnp.where(dax >= 0, big, -big),
+                        1.0 / jnp.where(near0, 1.0, dax))
+        t1 = (lo[ax] - oax) * inv
+        t2 = (hi[ax] - oax) * inv
+        lo_t = jnp.minimum(t1, t2)
+        hi_t = jnp.maximum(t1, t2)
+        tmin = lo_t if tmin is None else jnp.maximum(tmin, lo_t)
+        tmax = hi_t if tmax is None else jnp.minimum(tmax, hi_t)
+    ov = (tmax >= tmin) & (tmax >= 0.0) & (lo[0] <= hi[0])
+    if maxt_row is not None:
+        ov = ov & (tmin < maxt_row)
+    return jnp.any(ov)
+
+
 def _slab_entries(rayf_ref, aabb_ref, maxt=None, signed=False,
                   want_exit=False):
     """IN-KERNEL per-tile traversal schedule: every ray of the tile
@@ -367,15 +471,19 @@ def _union_gate(rayf_ref, aabb_ref, maxt=None, signed=False):
 
 
 def _mt_cluster_mxu(rayf, feat_ref, c, leaf: int, eps: float,
-                    with_uv: bool = False):
+                    with_uv: bool = False, t_layout: bool = False):
     """One cluster's Möller-Trumbore on the MXU. Returns (t, ok) (RT, L)
     each, plus (u, v) when with_uv (the barycentric coordinates — the
     smooth-triangle payload the reference stubs out,
-    src/intersection.rs:381-386)."""
+    src/intersection.rs:381-386). t_layout=True takes rayf as the
+    TRANSPOSED (10, RT) feature block and contracts its sublane axis — the
+    MXU is orientation-agnostic and the transposed-schedule kernels carry
+    only that layout."""
     s = pl.ds(c * (4 * leaf), 4 * leaf)
+    dims = (((0,), (0,)), ((), ())) if t_layout else (((1,), (0,)), ((), ()))
     w = jax.lax.dot_general(
         rayf, feat_ref[:, s],
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=dims,
         precision=_MT_PRECISION,
         preferred_element_type=jnp.float32,
     )                                           # (RT, 4L)
@@ -439,15 +547,15 @@ def _kernel_mxu(rayf_ref, *refs, leaf: int, eps: float, with_n: bool,
     aabb_ref = refs.pop(0)
     t_ref, idx_ref = refs.pop(0), refs.pop(0)
     out_pay_ref = refs.pop(0) if (with_n or with_uv or with_sn) else None
-    rayf = rayf_ref[:, :]                        # (RT, 10)
+    rayf = rayf_ref[:, :]                        # (10, RT) transposed
     big = jnp.float32(BIG)
-    rt = rayf.shape[0]
-    maxt = t0_ref[:, :] if with_t0 else None
+    rt = rayf.shape[1]
+    maxt = t0_ref[:, :] if with_t0 else None     # (1, RT)
 
-    # tile gate: one union-box test decides whether the (rt, C) schedule is
+    # tile gate: one union-box test decides whether the (C, rt) schedule is
     # worth computing at all — sky-only tiles and streamed blocks culled by
     # the carried t_best skip straight to the miss outputs
-    gate = _union_gate(rayf_ref, aabb_ref, maxt=maxt)
+    gate = _union_gate_t(rayf_ref, aabb_ref, maxt_row=maxt)
 
     @pl.when(jnp.logical_not(gate))
     def _skip():
@@ -474,16 +582,16 @@ def _kernel_mxu_body(rayf_ref, rayf, maxt, t0_ref, feat_ref, nrm_ref,
                      leaf: int, eps: float, with_n: bool, with_uv: bool,
                      with_sn: bool, with_t0: bool):
     big = jnp.float32(BIG)
-    rt = rayf.shape[0]
-    entry, exit_r = _slab_entries(rayf_ref, aabb_ref, maxt=maxt,
-                                  want_exit=True)
-    C = entry.shape[1]
-    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    rt = rayf.shape[1]
+    entry, exit_row = _slab_entries_t(rayf_ref, aabb_ref, maxt_row=maxt,
+                                      want_exit=True)
+    C = entry.shape[0]
+    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
     # seed margin: exit is a slab-test t, the hit a Möller-Trumbore t — the
     # two round differently by a few ulps, so pad the bound before seeding
-    seed = exit_r[:, 0] * 1.00001 + 1e-4
+    seed = exit_row[0, :] * 1.00001 + 1e-4
     if with_t0:
-        seed = jnp.minimum(seed, t0_ref[:, 0])
+        seed = jnp.minimum(seed, t0_ref[0, :])
     t_best0 = jnp.minimum(seed, big)
 
     def pop(work):
@@ -498,7 +606,8 @@ def _kernel_mxu_body(rayf_ref, rayf, maxt, t0_ref, feat_ref, nrm_ref,
         running state. gate=False turns the visit into a no-op (used for the
         possibly-empty second slot of a paired iteration)."""
         want_uv = with_uv or with_sn
-        mt = _mt_cluster_mxu(rayf, feat_ref, c, leaf, eps, with_uv=want_uv)
+        mt = _mt_cluster_mxu(rayf, feat_ref, c, leaf, eps, with_uv=want_uv,
+                             t_layout=True)
         t, ok = mt[0], mt[1]
         tt = jnp.where(ok, t, big)
         tmin_c = jnp.min(tt, axis=1)
@@ -692,12 +801,13 @@ def _anyhit_kernel_mxu(rayf_ref, maxt_ref, feat_ref, aabb_ref, hit_ref, *,
     as every LIVE ray in the tile is occluded. Clusters entirely beyond
     every ray's max_t are never scheduled (per-ray bound in the slab test);
     dead/parked lanes (max_t <= 0: they can never report a hit) are excluded
-    from the open-lane count so they cannot hold the loop open."""
-    rayf = rayf_ref[:, :]
-    maxt = maxt_ref[:, :]                        # (RT, 1)
+    from the open-lane count so they cannot hold the loop open.
+    Transposed layout: rayf_ref (10, rt), maxt_ref (1, rt), aabb (C, 8)."""
+    rayf = rayf_ref[:, :]                        # (10, RT)
+    maxt_row = maxt_ref[:, :]                    # (1, RT)
     big = jnp.float32(BIG)
-    rt = rayf.shape[0]
-    gate = _union_gate(rayf_ref, aabb_ref, maxt=maxt)
+    rt = rayf.shape[1]
+    gate = _union_gate_t(rayf_ref, aabb_ref, maxt_row=maxt_row)
 
     @pl.when(jnp.logical_not(gate))
     def _skip():
@@ -705,10 +815,12 @@ def _anyhit_kernel_mxu(rayf_ref, maxt_ref, feat_ref, aabb_ref, hit_ref, *,
 
     @pl.when(gate)
     def _work():
-        active = (maxt[:, 0] > 0.0).astype(jnp.int32)
-        entry = _slab_entries(rayf_ref, aabb_ref, maxt=maxt)
-        C = entry.shape[1]
-        lanes2 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+        active = (maxt_row[0, :] > 0.0).astype(jnp.int32)
+        # the MT bound needs max_t as an (RT, 1) column once per tile
+        maxt_col = maxt_row[0, :][:, None]
+        entry = _slab_entries_t(rayf_ref, aabb_ref, maxt_row=maxt_row)
+        C = entry.shape[0]
+        lanes2 = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
 
         def pop(work):
             m = jnp.min(work)
@@ -724,8 +836,9 @@ def _anyhit_kernel_mxu(rayf_ref, maxt_ref, feat_ref, aabb_ref, hit_ref, *,
         def body(carry):
             work, m, c, n_open, found = carry
             m_next, c_next, work = pop(work)
-            t, ok = _mt_cluster_mxu(rayf, feat_ref, c, leaf, eps)
-            ok = ok & (t < maxt)
+            t, ok = _mt_cluster_mxu(rayf, feat_ref, c, leaf, eps,
+                                    t_layout=True)
+            ok = ok & (t < maxt_col)
             found = found | jnp.any(ok, axis=1).astype(jnp.int32)
             n_open = jnp.sum(active * (1 - found), dtype=jnp.int32)
             return work, m_next, c_next, n_open, found
@@ -1516,8 +1629,8 @@ def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
     n_tiles = (R + pad) // rt
 
     feat = _tri_features(tri_p1, tri_e1, tri_e2, leaf)   # (10, 4T)
-    rayf = _ray_features(o_p, d_p)                       # (R', 10)
-    aabb_t = cluster_aabb.astype(jnp.float32).T          # (6, C)
+    rayf = _ray_features_t(o_p, d_p)                     # (10, R') transposed
+    aabb_c = _aabb_cols(cluster_aabb)                    # (C, 8)
     with_n = tri_n is not None
     with_sn = tri_sn is not None
     with_t0 = t0 is not None
@@ -1525,14 +1638,14 @@ def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
     kernel = functools.partial(_kernel_mxu, leaf=leaf, eps=eps,
                                with_n=with_n, with_uv=want_uv,
                                with_sn=with_sn, with_t0=with_t0)
-    in_specs = [pl.BlockSpec((rt, 10), lambda i: (i, 0),
+    in_specs = [pl.BlockSpec((10, rt), lambda i: (0, i),
                              memory_space=pltpu.VMEM)]
     args = [rayf]
     if with_t0:
         t0_p = jnp.pad(t0, ((0, pad),), constant_values=-BIG)
-        in_specs.append(pl.BlockSpec((rt, 1), lambda i: (i, 0),
+        in_specs.append(pl.BlockSpec((1, rt), lambda i: (0, i),
                                      memory_space=pltpu.VMEM))
-        args.append(t0_p.astype(jnp.float32)[:, None])
+        args.append(t0_p.astype(jnp.float32)[None, :])
     in_specs.append(pl.BlockSpec(feat.shape, lambda i: (0, 0),
                                  memory_space=pltpu.VMEM))
     args.append(feat)
@@ -1546,9 +1659,9 @@ def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
         in_specs.append(pl.BlockSpec(snc.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(snc)
-    in_specs.append(pl.BlockSpec(aabb_t.shape, lambda i: (0, 0),
+    in_specs.append(pl.BlockSpec(aabb_c.shape, lambda i: (0, 0),
                                  memory_space=pltpu.VMEM))
-    args.append(aabb_t)
+    args.append(aabb_c)
     out_specs = [
         pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -1612,25 +1725,25 @@ def mesh_any_hit_mxu(o, d, max_t, tri_p1, tri_e1, tri_e2, cluster_aabb,
     n_tiles = (R + pad) // rt
 
     feat = _tri_features(tri_p1, tri_e1, tri_e2, leaf)
-    rayf = _ray_features(o_p, d_p)
-    aabb_t = cluster_aabb.astype(jnp.float32).T          # (6, C)
+    rayf = _ray_features_t(o_p, d_p)                     # (10, R')
+    aabb_c = _aabb_cols(cluster_aabb)                    # (C, 8)
 
     kernel = functools.partial(_anyhit_kernel_mxu, leaf=leaf, eps=eps)
     (hit,) = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((rt, 10), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((10, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(feat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(aabb_t.shape, lambda i: (0, 0),
+            pl.BlockSpec(aabb_c.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((1, R + pad), jnp.int32)],
         interpret=interpret,
         compiler_params=_VMEM_LIMIT,
-    )(rayf, m_p.astype(jnp.float32)[:, None], feat, aabb_t)
+    )(rayf, m_p.astype(jnp.float32)[None, :], feat, aabb_c)
     return hit[0, :R] != 0
 
 
