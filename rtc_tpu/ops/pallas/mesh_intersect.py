@@ -851,12 +851,14 @@ def _anyhit_kernel_mxu(rayf_ref, maxt_ref, feat_ref, aabb_ref, hit_ref, *,
         hit_ref[0, :] = out[4]
 
 
-def _inst_ray_features(rayf, rf_ref, i):
-    """Transform the tile's ray features into instance i's object space:
-    ONE (rt, 10) x (10, 10) matmul against the host-precomputed feature
-    transform (rf_ref rows i*16 .. i*16+10; see TlasTables.inst_rf — the
-    cross-product block rides the cofactor identity (Ao)x(Ad) = cof(A)(oxd),
-    so the whole [d, o x d, o, 1] basis maps linearly).
+def _inst_ray_features(rayft, rf_ref, i):
+    """Transform the tile's TRANSPOSED (10, rt) ray features into instance
+    i's object space: ONE (10, 10) x (10, rt) matmul against the
+    host-precomputed feature transform (rf_ref rows i*16 .. i*16+10; see
+    TlasTables.inst_rf — the cross-product block rides the cofactor
+    identity (Ao)x(Ad) = cof(A)(oxd), so the whole [d, o x d, o, 1] basis
+    maps linearly). rayf2_t[j, r] = sum_k M[k, j] rayft[k, r] — the same
+    rayf' = rayf @ M, kept in the transposed layout.
 
     t is PRESERVED: d' = A d is not renormalized, so an object-space hit at
     parameter t lies at the same world t — the invariant the reference's
@@ -865,33 +867,33 @@ def _inst_ray_features(rayf, rf_ref, i):
     directly comparable across instances."""
     mi = rf_ref[pl.ds(pl.multiple_of(i * 16, 16), 16), :][:10, :]
     return jax.lax.dot_general(
-        rayf, mi,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        mi, rayft,
+        dimension_numbers=(((0,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
 
 
-def _slab_full(rayf_ref, aabb_ref):
-    """Full per-(ray, box) slab test of the tile against a (6, C) VMEM box
-    table: returns (tmin, tmax, ov) each (rt, C). The TLAS kernel computes
-    this ONCE per tile for the instance boxes; per-visit bounds then reduce
-    lane-parallel masked columns instead of re-testing one box in (rt, 1)
-    shape (1/128 lane occupancy)."""
+def _slab_full_t(rayft_ref, aabb_ref):
+    """Full per-(box, ray) slab test of the tile against a (C, 8) VMEM box
+    table: returns (tmin, tmax, ov) each (C, rt) — boxes on the sublane
+    axis, rays on the lane axis (full VPU occupancy). The TLAS kernel
+    computes this ONCE per tile for the instance boxes; per-visit bounds
+    then reduce masked rows."""
     big = jnp.float32(BIG)
     tmin = None
     tmax = None
     empty = None
     for ax in range(3):
-        e = aabb_ref[ax:ax + 1, :] > aabb_ref[3 + ax:4 + ax, :]
+        e = aabb_ref[:, ax:ax + 1] > aabb_ref[:, 3 + ax:4 + ax]
         empty = e if empty is None else (empty | e)
     for ax in range(3):
-        dax = rayf_ref[:, ax:ax + 1]
-        oax = rayf_ref[:, 6 + ax:7 + ax]
+        dax = rayft_ref[ax:ax + 1, :]
+        oax = rayft_ref[6 + ax:7 + ax, :]
         near0 = jnp.abs(dax) < 1e-30
         inv = jnp.where(near0, jnp.where(dax >= 0, big, -big),
                         1.0 / jnp.where(near0, 1.0, dax))
-        t1 = (aabb_ref[ax:ax + 1, :] - oax) * inv
-        t2 = (aabb_ref[3 + ax:4 + ax, :] - oax) * inv
+        t1 = (aabb_ref[:, ax:ax + 1] - oax) * inv
+        t2 = (aabb_ref[:, 3 + ax:4 + ax] - oax) * inv
         lo_t = jnp.minimum(t1, t2)
         hi_t = jnp.maximum(t1, t2)
         tmin = lo_t if tmin is None else jnp.maximum(tmin, lo_t)
@@ -923,12 +925,12 @@ def _kernel_mxu_tlas(rayf_ref, feat_ref, nrm_ref, caabb_ref, iaabb_ref,
     nrm_ref as the (9, Tu) OBJECT-space corner-normal slab instead, blends
     the winner's corners with its barycentric (u, v) in-kernel, and pushes
     the blend through the same instance inverse-transpose."""
-    rayf = rayf_ref[:, :]
+    rayf = rayf_ref[:, :]                        # (10, RT) transposed
     big = jnp.float32(BIG)
-    rt = rayf.shape[0]
+    rt = rayf.shape[1]
     tm = cm * leaf
 
-    gate = _union_gate(rayf_ref, iaabb_ref)
+    gate = _union_gate_t(rayf_ref, iaabb_ref)
 
     want_pay = with_n or with_sn
 
@@ -944,21 +946,21 @@ def _kernel_mxu_tlas(rayf_ref, feat_ref, nrm_ref, caabb_ref, iaabb_ref,
 
     @pl.when(gate)
     def _work():
-        # full (rt, I) instance slab table ONCE per tile; the tile entry
+        # full (I, rt) instance slab table ONCE per tile; the tile entry
         # schedule, the per-ray seed and every visit's per-ray exit bound
         # are lane-parallel reductions over it
-        tmin_a, tmax_a, ov_a = _slab_full(rayf_ref, iaabb_ref)
-        n_i = tmin_a.shape[1]
-        lanes_i = jax.lax.broadcasted_iota(jnp.int32, (1, n_i), 1)
-        lanes_c = jax.lax.broadcasted_iota(jnp.int32, (1, cm), 1)
+        tmin_a, tmax_a, ov_a = _slab_full_t(rayf_ref, iaabb_ref)
+        n_i = tmin_a.shape[0]
+        lanes_i = jax.lax.broadcasted_iota(jnp.int32, (n_i, 1), 0)
+        lanes_c = jax.lax.broadcasted_iota(jnp.int32, (cm, 1), 0)
         entry_i = jnp.min(
-            jnp.where(ov_a, jnp.maximum(tmin_a, 0.0), big), axis=0,
-            keepdims=True)                                    # (1, I)
-        exit_r = jnp.max(jnp.where(ov_a, tmax_a, -big), axis=1,
-                         keepdims=True)                       # (rt, 1)
+            jnp.where(ov_a, jnp.maximum(tmin_a, 0.0), big), axis=1,
+            keepdims=True)                                    # (I, 1)
+        exit_row = jnp.max(jnp.where(ov_a, tmax_a, -big), axis=0,
+                           keepdims=True)                     # (1, rt)
         # seed from the instance-level exit bound (see _kernel_mxu: any hit
         # lies inside some overlapped instance box)
-        t_best0 = jnp.minimum(exit_r[:, 0] * 1.00001 + 1e-4, big)
+        t_best0 = jnp.minimum(exit_row[0, :] * 1.00001 + 1e-4, big)
 
         def pop(work, lanes):
             m = jnp.min(work)
@@ -968,23 +970,24 @@ def _kernel_mxu_tlas(rayf_ref, feat_ref, nrm_ref, caabb_ref, iaabb_ref,
         def visit_inst(i, t_best, idx_best, obj_best, payload):
             mi = imesh_ref[i, 0]
             obj_i = iobj_ref[i, 0]
-            rayf2 = _inst_ray_features(rayf, rf_ref, i)
+            rayf2 = _inst_ray_features(rayf, rf_ref, i)       # (10, rt)
             exit_i = jnp.max(
-                jnp.where(ov_a & (lanes_i == i), tmax_a, -big), axis=1,
-                keepdims=True)                                # (rt, 1)
-            bound = jnp.minimum(t_best[:, None],
-                                exit_i * 1.00001 + 1e-4)      # (rt, 1)
-            # caabb is laid out (M*8, cm): mesh on the 8-aligned SUBLANE
-            # axis (a dynamic LANE slice of width cm is not 128-aligned)
-            cab = caabb_ref[pl.ds(pl.multiple_of(mi * 8, 8), 8), :]
-            entry_c = _slab_entries(rayf2, cab, maxt=bound)   # (1, cm)
+                jnp.where(ov_a & (lanes_i == i), tmax_a, -big), axis=0,
+                keepdims=True)                                # (1, rt)
+            bound_row = jnp.minimum(t_best[None, :],
+                                    exit_i * 1.00001 + 1e-4)  # (1, rt)
+            # caabb is laid out (M*cm, 8) columns; cm is 8-aligned so the
+            # per-mesh sublane slice is aligned
+            cab = caabb_ref[pl.ds(pl.multiple_of(mi * cm, 8), cm), :]
+            entry_c = _slab_entries_t(rayf2, cab,
+                                      maxt_row=bound_row)     # (cm, 1)
 
             def visit_c(c, gate, t_best, idx_best, obj_best, payload):
                 """Test cluster c of this instance; gate=False makes it a
                 no-op (the possibly-empty second slot of a paired
                 iteration)."""
                 mt = _mt_cluster_mxu(rayf2, feat_ref, mi * cm + c, leaf,
-                                     eps, with_uv=with_sn)
+                                     eps, with_uv=with_sn, t_layout=True)
                 t, ok = mt[0], mt[1]
                 tt = jnp.where(ok, t, big)
                 tmin_c = jnp.min(tt, axis=1)
@@ -1048,12 +1051,12 @@ def _kernel_mxu_tlas(rayf_ref, feat_ref, nrm_ref, caabb_ref, iaabb_ref,
                     c2, gate2, t_best, idx_best, obj_best, payload)
                 # early-exit bound: rays outside this instance's box cannot
                 # improve here — exclude them from the inner t_max
-                t_max = jnp.max(jnp.minimum(t_best, bound[:, 0]))
+                t_max = jnp.max(jnp.minimum(t_best, bound_row[0, :]))
                 return (work, m_next, c_next, t_max, t_best, idx_best,
                         obj_best) + payload
 
             m0, c0, work0 = pop(entry_c, lanes_c)
-            t_max0 = jnp.max(jnp.minimum(t_best, bound[:, 0]))
+            t_max0 = jnp.max(jnp.minimum(t_best, bound_row[0, :]))
             init = (work0, m0, c0, t_max0, t_best, idx_best, obj_best) \
                 + payload
             out = jax.lax.while_loop(cond_c, body_c, init)
@@ -1098,11 +1101,11 @@ def _anyhit_kernel_tlas(rayf_ref, maxt_ref, feat_ref, caabb_ref, iaabb_ref,
     cluster loop per instance. Exits as soon as every live ray is occluded;
     occluded lanes' bounds drop to -1 so later instances' schedules shed
     them."""
-    rayf = rayf_ref[:, :]
-    maxt = maxt_ref[:, :]                        # (rt, 1)
+    rayf = rayf_ref[:, :]                        # (10, RT) transposed
+    maxt_row = maxt_ref[:, :]                    # (1, RT)
     big = jnp.float32(BIG)
-    rt = rayf.shape[0]
-    gate = _union_gate(rayf_ref, iaabb_ref, maxt=maxt)
+    rt = rayf.shape[1]
+    gate = _union_gate_t(rayf_ref, iaabb_ref, maxt_row=maxt_row)
 
     @pl.when(jnp.logical_not(gate))
     def _skip():
@@ -1110,11 +1113,12 @@ def _anyhit_kernel_tlas(rayf_ref, maxt_ref, feat_ref, caabb_ref, iaabb_ref,
 
     @pl.when(gate)
     def _work():
-        active = (maxt[:, 0] > 0.0).astype(jnp.int32)
-        entry_i = _slab_entries(rayf_ref, iaabb_ref, maxt=maxt)
-        n_i = entry_i.shape[1]
-        lanes_i = jax.lax.broadcasted_iota(jnp.int32, (1, n_i), 1)
-        lanes_c = jax.lax.broadcasted_iota(jnp.int32, (1, cm), 1)
+        active = (maxt_row[0, :] > 0.0).astype(jnp.int32)
+        maxt_col = maxt_row[0, :][:, None]       # (rt, 1) for the MT bound
+        entry_i = _slab_entries_t(rayf_ref, iaabb_ref, maxt_row=maxt_row)
+        n_i = entry_i.shape[0]
+        lanes_i = jax.lax.broadcasted_iota(jnp.int32, (n_i, 1), 0)
+        lanes_c = jax.lax.broadcasted_iota(jnp.int32, (cm, 1), 0)
 
         def pop(work, lanes):
             m = jnp.min(work)
@@ -1123,10 +1127,11 @@ def _anyhit_kernel_tlas(rayf_ref, maxt_ref, feat_ref, caabb_ref, iaabb_ref,
 
         def visit_inst(i, found):
             mi = imesh_ref[i, 0]
-            rayf2 = _inst_ray_features(rayf, rf_ref, i)
-            m_live = jnp.where(found > 0, jnp.float32(-1.0), maxt[:, 0])
-            cab = caabb_ref[pl.ds(pl.multiple_of(mi * 8, 8), 8), :]
-            entry_c = _slab_entries(rayf2, cab, maxt=m_live[:, None])
+            rayf2 = _inst_ray_features(rayf, rf_ref, i)       # (10, rt)
+            m_live = jnp.where(found[None, :] > 0, jnp.float32(-1.0),
+                               maxt_row)                      # (1, rt)
+            cab = caabb_ref[pl.ds(pl.multiple_of(mi * cm, 8), cm), :]
+            entry_c = _slab_entries_t(rayf2, cab, maxt_row=m_live)
 
             def cond_c(carry):
                 m, n_open = carry[1], carry[3]
@@ -1136,8 +1141,8 @@ def _anyhit_kernel_tlas(rayf_ref, maxt_ref, feat_ref, caabb_ref, iaabb_ref,
                 work, m, c, n_open, found = carry
                 m_next, c_next, work = pop(work, lanes_c)
                 t, ok = _mt_cluster_mxu(rayf2, feat_ref, mi * cm + c, leaf,
-                                        eps)
-                ok = ok & (t < maxt)
+                                        eps, t_layout=True)
+                ok = ok & (t < maxt_col)
                 found = found | jnp.any(ok, axis=1).astype(jnp.int32)
                 n_open = jnp.sum(active * (1 - found), dtype=jnp.int32)
                 return work, m_next, c_next, n_open, found
@@ -1201,15 +1206,11 @@ def mesh_closest_hit_tlas_mxu(o, d, p1, e1, e2, caabb, inst_ab, inst_rf,
     n_tiles = (R + pad) // rt
 
     feat = _tri_features(p1, e1, e2, leaf)               # (10, 4Tu)
-    rayf = _ray_features(o_p, d_p)
-    # per-mesh cluster boxes with mesh on the SUBLANE axis: (M*8, cm) —
-    # the kernel slices mesh mi as an 8-aligned dynamic sublane range
-    n_mesh = caabb.shape[0] // cm
-    cab6 = caabb.astype(jnp.float32).reshape(n_mesh, cm, 6).transpose(0, 2, 1)
-    caabb_t = jnp.concatenate(
-        [cab6, jnp.zeros((n_mesh, 2, cm), jnp.float32)], axis=1
-    ).reshape(n_mesh * 8, cm)
-    iaabb_t = inst_aabb.astype(jnp.float32).T            # (6, I)
+    rayf = _ray_features_t(o_p, d_p)                     # (10, R')
+    # per-mesh cluster boxes as (M*cm, 8) columns; cm is 8-aligned so each
+    # mesh's sublane slice is aligned
+    caabb_t = _aabb_cols(caabb)
+    iaabb_t = _aabb_cols(inst_aabb)                      # (I, 8)
     rf = inst_rf.astype(jnp.float32)                     # (I*16, 10)
     ab = inst_ab.astype(jnp.float32)                     # (I, 12)
     imesh = inst_mesh.astype(jnp.int32)[:, None]         # (I, 1)
@@ -1222,7 +1223,7 @@ def mesh_closest_hit_tlas_mxu(o, d, p1, e1, e2, caabb, inst_ab, inst_rf,
     kernel = functools.partial(_kernel_mxu_tlas, leaf=leaf, cm=cm, eps=eps,
                                with_n=with_n, with_sn=with_sn)
     in_specs = [
-        pl.BlockSpec((rt, 10), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((10, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec(feat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     args = [rayf, feat]
@@ -1297,13 +1298,9 @@ def mesh_any_hit_tlas_mxu(o, d, max_t, p1, e1, e2, caabb, inst_rf,
     n_tiles = (R + pad) // rt
 
     feat = _tri_features(p1, e1, e2, leaf)
-    rayf = _ray_features(o_p, d_p)
-    n_mesh = caabb.shape[0] // cm
-    cab6 = caabb.astype(jnp.float32).reshape(n_mesh, cm, 6).transpose(0, 2, 1)
-    caabb_t = jnp.concatenate(
-        [cab6, jnp.zeros((n_mesh, 2, cm), jnp.float32)], axis=1
-    ).reshape(n_mesh * 8, cm)
-    iaabb_t = inst_aabb.astype(jnp.float32).T
+    rayf = _ray_features_t(o_p, d_p)                     # (10, R')
+    caabb_t = _aabb_cols(caabb)                          # (M*cm, 8)
+    iaabb_t = _aabb_cols(inst_aabb)                      # (I, 8)
     rf = inst_rf.astype(jnp.float32)
     imesh = inst_mesh.astype(jnp.int32)[:, None]
 
@@ -1312,8 +1309,8 @@ def mesh_any_hit_tlas_mxu(o, d, max_t, p1, e1, e2, caabb, inst_rf,
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((rt, 10), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((10, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(feat.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(caabb_t.shape, lambda i: (0, 0),
@@ -1330,7 +1327,7 @@ def mesh_any_hit_tlas_mxu(o, d, max_t, p1, e1, e2, caabb, inst_rf,
         out_shape=[jax.ShapeDtypeStruct((1, R + pad), jnp.int32)],
         interpret=interpret,
         compiler_params=_VMEM_LIMIT,
-    )(rayf, m_p.astype(jnp.float32)[:, None], feat, caabb_t, iaabb_t, rf,
+    )(rayf, m_p.astype(jnp.float32)[None, :], feat, caabb_t, iaabb_t, rf,
       imesh)
     return hit[0, :R] != 0
 
