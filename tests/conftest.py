@@ -17,6 +17,17 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# persistent XLA compilation cache: the suite compiles ~100 distinct CPU
+# programs (one per scene/dtype/tile combination — static shapes differ per
+# scene); on this 2-core machine those compiles dominate suite wall time.
+# Cache keys include platform/flags, so sharing the repo cache dir with the
+# TPU bench entries is safe. A cold run pays full compile cost once; every
+# rerun (driver re-checks, bisects, local debugging) is several times
+# faster.
+from rtc_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import numpy as np
 import pytest
 

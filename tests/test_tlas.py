@@ -240,3 +240,16 @@ def test_tlas_smooth_gradients(herd_sn):
     g_b = np.asarray(jax.grad(loss(BF))(z))
     g_k = np.asarray(jax.grad(loss(KERN))(z))
     np.testing.assert_allclose(g_b, g_k, rtol=1e-3, atol=1e-3)
+
+
+def test_tlas_prim_sharding_falls_back_to_flat(herd):
+    """Documented behavior (integrator._use_tlas): under primitive sharding
+    the TLAS tables are unused and the flat world-table path serves the
+    scene — instance-table sharding is NOT implemented. This test pins the
+    docstring's claim."""
+    import dataclasses
+
+    scene, _, _ = herd
+    assert integrator._use_tlas(scene, KERN, "mxu_interpret")
+    sharded = dataclasses.replace(KERN, prim_axis="prims")
+    assert not integrator._use_tlas(scene, sharded, "mxu_interpret")
