@@ -601,10 +601,12 @@ def _kernel_mxu_body(rayf_ref, rayf, maxt, t0_ref, feat_ref, nrm_ref,
         c = jnp.min(jnp.where(work == m, lanes2, jnp.int32(2**30)))
         return m, c, jnp.where(lanes2 == c, big, work)
 
-    def visit(c, gate, t_best, idx_best, payload):
-        """Test cluster c against the tile and fold the winners into the
-        running state. gate=False turns the visit into a no-op (used for the
-        possibly-empty second slot of a paired iteration)."""
+    def probe(c):
+        """Test cluster c against the tile INDEPENDENTLY of the running
+        best: returns (tmin_c, local, pay). Probes have no data dependence
+        on each other, so an iteration's four probes issue as four
+        overlapping MT-matmul + lane-reduction chains; only the cheap
+        elementwise fold below is serial."""
         want_uv = with_uv or with_sn
         mt = _mt_cluster_mxu(rayf, feat_ref, c, leaf, eps, with_uv=want_uv,
                              t_layout=True)
@@ -614,16 +616,14 @@ def _kernel_mxu_body(rayf_ref, rayf, maxt, t0_ref, feat_ref, nrm_ref,
         lane = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1)
         local = jnp.min(
             jnp.where(tt <= tmin_c[:, None], lane, jnp.int32(2**30)), axis=1)
-        better = (tmin_c < t_best) & gate
+        pay = None
         if with_n:
             onehot = lane == local[:, None]      # (RT, L)
             s = pl.ds(pl.multiple_of(c * leaf, leaf), leaf)
-            sel_x = jnp.sum(jnp.where(onehot, nrm_ref[0, s][None, :], 0.0), axis=1)
-            sel_y = jnp.sum(jnp.where(onehot, nrm_ref[1, s][None, :], 0.0), axis=1)
-            sel_z = jnp.sum(jnp.where(onehot, nrm_ref[2, s][None, :], 0.0), axis=1)
-            payload = tuple(jnp.where(better, sel, prev) for sel, prev in
-                            zip((sel_x, sel_y, sel_z), payload))
-        if with_sn:
+            pay = tuple(
+                jnp.sum(jnp.where(onehot, nrm_ref[k, s][None, :], 0.0),
+                        axis=1) for k in range(3))
+        elif with_sn:
             # winner (u, v) + the 9 corner-normal components, blended here:
             # n = (1-u-v) sn1 + u sn2 + v sn3 (normalized outside)
             onehot = lane == local[:, None]      # (RT, L)
@@ -631,33 +631,40 @@ def _kernel_mxu_body(rayf_ref, rayf, maxt, t0_ref, feat_ref, nrm_ref,
             u = jnp.sum(jnp.where(onehot, mt[2], 0.0), axis=1)
             v = jnp.sum(jnp.where(onehot, mt[3], 0.0), axis=1)
             w0 = 1.0 - u - v
-            sel = []
-            for ax in range(3):
-                comp = (
-                    w0 * jnp.sum(jnp.where(onehot, snc_ref[ax, s][None, :], 0.0), axis=1)
-                    + u * jnp.sum(jnp.where(onehot, snc_ref[3 + ax, s][None, :], 0.0), axis=1)
-                    + v * jnp.sum(jnp.where(onehot, snc_ref[6 + ax, s][None, :], 0.0), axis=1))
-                sel.append(comp)
-            payload = tuple(jnp.where(better, s_new, prev) for s_new, prev in
-                            zip(sel, payload))
-        if with_uv:
+            pay = tuple(
+                w0 * jnp.sum(jnp.where(onehot, snc_ref[ax, s][None, :], 0.0), axis=1)
+                + u * jnp.sum(jnp.where(onehot, snc_ref[3 + ax, s][None, :], 0.0), axis=1)
+                + v * jnp.sum(jnp.where(onehot, snc_ref[6 + ax, s][None, :], 0.0), axis=1)
+                for ax in range(3))
+        elif with_uv:
             onehot = lane == local[:, None]      # (RT, L)
-            sel_u = jnp.sum(jnp.where(onehot, mt[2], 0.0), axis=1)
-            sel_v = jnp.sum(jnp.where(onehot, mt[3], 0.0), axis=1)
-            payload = tuple(jnp.where(better, sel, prev) for sel, prev in
-                            zip((sel_u, sel_v), payload))
+            pay = (jnp.sum(jnp.where(onehot, mt[2], 0.0), axis=1),
+                   jnp.sum(jnp.where(onehot, mt[3], 0.0), axis=1))
+        return tmin_c, local, pay
+
+    def fold(c, gate, probed, t_best, idx_best, payload):
+        """Fold one probe's winners into the running state (elementwise;
+        gate=False makes it a no-op for empty quad slots)."""
+        tmin_c, local, pay = probed
+        better = (tmin_c < t_best) & gate
+        if pay is not None:
+            payload = tuple(jnp.where(better, sel, prev)
+                            for sel, prev in zip(pay, payload))
         t_best = jnp.where(better, tmin_c, t_best)
         idx_best = jnp.where(
             better, (c * leaf + local).astype(jnp.int32), idx_best)
         return t_best, idx_best, payload
 
     # the loop carries the NEXT selection (m, c) and the running max of
-    # t_best: cond is pure carried scalars, and each body issues the pops'
-    # cross-lane reduction chains interleaved with TWO clusters' MT vector
-    # work — pairing visits amortizes the while_loop's iteration barrier
-    # (Mosaic can't software-pipeline across iterations) over twice the
-    # work. The second slot may be empty (odd visit counts / early exit
-    # granularity): it is gated to a no-op, costing one wasted MT at most.
+    # t_best: cond is pure carried scalars, and each body issues TWO
+    # independent cluster probes per iteration barrier whose MT/reduction
+    # chains overlap, then two cheap elementwise folds (Mosaic can't
+    # software-pipeline across while_loop iterations). The second slot may
+    # be empty (early-exit granularity): gated to a no-op fold. QUAD visits
+    # were measured SLOWER (117.3M vs 132.5M rays/s on the cow frame): the
+    # four pops serialize — each argmin depends on the previous pop's
+    # masked work vector — so widening the iteration lengthens the critical
+    # chain more than it saves in barriers (BASELINE.md negative results).
     def cond(carry):
         m, t_max = carry[1], carry[3]
         # ordered early exit: every ray already has a hit at or before the
@@ -669,11 +676,14 @@ def _kernel_mxu_body(rayf_ref, rayf, maxt, t0_ref, feat_ref, nrm_ref,
         payload = carry[6:]
         m2, c2, work = pop(work)
         m_next, c_next, work = pop(work)
-        t_best, idx_best, payload = visit(
-            c, jnp.bool_(True), t_best, idx_best, payload)
         gate2 = (m2 < big) & (t_max > m2)
         c2 = jnp.where(gate2, c2, 0)             # keep the ds slice in range
-        t_best, idx_best, payload = visit(c2, gate2, t_best, idx_best, payload)
+        pr1 = probe(c)
+        pr2 = probe(c2)
+        t_best, idx_best, payload = fold(
+            c, jnp.bool_(True), pr1, t_best, idx_best, payload)
+        t_best, idx_best, payload = fold(
+            c2, gate2, pr2, t_best, idx_best, payload)
         t_max = jnp.max(t_best)
         return (work, m_next, c_next, t_max, t_best, idx_best) + payload
 
@@ -828,18 +838,28 @@ def _anyhit_kernel_mxu(rayf_ref, maxt_ref, feat_ref, aabb_ref, hit_ref, *,
             return m, c, jnp.where(lanes2 == c, big, work)
 
         # same carried-selection structure as _kernel_mxu: cond reads carried
-        # scalars only, the next pop's reduces overlap this cluster's MT
+        # scalars only; TWO probes per iteration (quadding measured slower —
+        # the pops' argmin chains serialize; see _kernel_mxu_body comment),
+        # and occlusion only ORs so the gated second probe is semantically
+        # free
         def cond(carry):
             m, n_open = carry[1], carry[3]
             return (m < big) & (n_open > 0)
 
         def body(carry):
             work, m, c, n_open, found = carry
+            m2, c2, work = pop(work)
             m_next, c_next, work = pop(work)
+            g2 = m2 < big
+            c2 = jnp.where(g2, c2, 0)
             t, ok = _mt_cluster_mxu(rayf, feat_ref, c, leaf, eps,
                                     t_layout=True)
+            t2, ok2 = _mt_cluster_mxu(rayf, feat_ref, c2, leaf, eps,
+                                      t_layout=True)
             ok = ok & (t < maxt_col)
-            found = found | jnp.any(ok, axis=1).astype(jnp.int32)
+            ok2 = ok2 & (t2 < maxt_col)
+            found = found | jnp.any(ok, axis=1).astype(jnp.int32) \
+                | (jnp.any(ok2, axis=1) & g2).astype(jnp.int32)
             n_open = jnp.sum(active * (1 - found), dtype=jnp.int32)
             return work, m_next, c_next, n_open, found
 
