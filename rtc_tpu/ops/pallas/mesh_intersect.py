@@ -297,7 +297,8 @@ def _aabb_cols(cluster_aabb):
          jnp.zeros((C, 2), jnp.float32)], axis=1)
 
 
-def _slab_entries_t(rayft_ref, aabb_ref, maxt_row=None, want_exit=False):
+def _slab_entries_t(rayft_ref, aabb_ref, maxt_row=None, want_exit=False,
+                    signed=False):
     """Transposed-orientation traversal schedule. rayft_ref: (10, rt) rows
     [d | o x d | o | 1]; aabb_ref: (C, 8) columns [lo_xyz | hi_xyz | pad].
     maxt_row: optional (1, rt) per-ray bound.
@@ -307,7 +308,7 @@ def _slab_entries_t(rayft_ref, aabb_ref, maxt_row=None, want_exit=False):
     plus (want_exit) exit (1, rt): each ray's latest conservative exit out
     of any overlapped cluster (-BIG for rays overlapping nothing).
 
-    Same semantics as _slab_entries, different data layout: rays live on the
+    Row-major _slab_entries is retired; in this layout: rays live on the
     LANE axis throughout, so the per-ray work runs at full VPU occupancy and
     the (C, rt) intermediates use C-row sublane tiles."""
     big = jnp.float32(BIG)
@@ -331,10 +332,12 @@ def _slab_entries_t(rayft_ref, aabb_ref, maxt_row=None, want_exit=False):
         hi_t = jnp.maximum(t1, t2)
         tmin = lo_t if tmin is None else jnp.maximum(tmin, lo_t)
         tmax = hi_t if tmax is None else jnp.minimum(tmax, hi_t)
-    ov = (tmax >= tmin) & ~empty & (tmax >= 0.0)
+    ov = (tmax >= tmin) & ~empty
+    if not signed:
+        ov = ov & (tmax >= 0.0)
     if maxt_row is not None:
         ov = ov & (tmin < maxt_row)
-    entry_r = jnp.where(ov, jnp.maximum(tmin, 0.0), big)
+    entry_r = jnp.where(ov, tmin if signed else jnp.maximum(tmin, 0.0), big)
     entry = jnp.min(entry_r, axis=1, keepdims=True)   # (C, 1)
     if want_exit:
         exit_row = jnp.max(jnp.where(ov, tmax, -big), axis=0,
@@ -343,8 +346,8 @@ def _slab_entries_t(rayft_ref, aabb_ref, maxt_row=None, want_exit=False):
     return entry
 
 
-def _union_gate_t(rayft_ref, aabb_ref, maxt_row=None):
-    """Transposed-orientation tile gate (see _union_gate): one union box vs
+def _union_gate_t(rayft_ref, aabb_ref, maxt_row=None, signed=False):
+    """Tile gate: one union box vs
     the tile's rays, all math on (1, rt) full-lane rows."""
     big = jnp.float32(BIG)
     lo, hi = [], []
@@ -366,107 +369,11 @@ def _union_gate_t(rayft_ref, aabb_ref, maxt_row=None):
         hi_t = jnp.maximum(t1, t2)
         tmin = lo_t if tmin is None else jnp.maximum(tmin, lo_t)
         tmax = hi_t if tmax is None else jnp.minimum(tmax, hi_t)
-    ov = (tmax >= tmin) & (tmax >= 0.0) & (lo[0] <= hi[0])
-    if maxt_row is not None:
-        ov = ov & (tmin < maxt_row)
-    return jnp.any(ov)
-
-
-def _slab_entries(rayf_ref, aabb_ref, maxt=None, signed=False,
-                  want_exit=False):
-    """IN-KERNEL per-tile traversal schedule: every ray of the tile
-    slab-tests every cluster ((rt, C) fused VPU ops on VMEM-resident
-    operands — no HBM temporaries, unlike the former XLA-side schedule
-    pass, which cost ~10 ms/sweep at 1080p in (R, C) HBM traffic), then
-    reduces to the tile's conservative per-cluster entry t.
-
-    rayf columns: [d (0:3), o x d (3:6), o (6:9), 1]; aabb_ref: (6, C)
-    VMEM as [lo_xyz | hi_xyz] rows. maxt: optional (rt, 1) per-ray bound
-    (occlusion queries cull clusters entirely beyond it). signed=True keeps
-    clusters entirely BEHIND the origin and negative entry ts (crossing
-    censuses count t < 0 intersections too).
-
-    Returns entry (1, C) f32: the earliest conservative entry t of any ray
-    into each cluster, BIG where no ray overlaps. Empty padding clusters
-    (lo > hi on any axis) are masked out explicitly — per-axis min/max of
-    the slab ts would otherwise make an inverted box test like a normal one.
-
-    want_exit=True additionally returns exit (rt, 1) f32: each ray's LATEST
-    conservative exit t out of any overlapped cluster (-BIG for rays that
-    overlap nothing — parked/miss lanes). Any triangle hit must lie inside
-    some cluster's slab interval, so exit is a per-ray upper bound on every
-    achievable hit t; the closest-hit kernel seeds t_best from it so tiles
-    containing miss/parked rays can still take the ordered early exit
-    (otherwise those rays pin t_max at BIG and the tile visits every
-    overlapped cluster).
-    """
-    big = jnp.float32(BIG)
-    tmin = None
-    tmax = None
-    empty = None
-    for ax in range(3):
-        e = aabb_ref[ax:ax + 1, :] > aabb_ref[3 + ax:4 + ax, :]   # (1, C)
-        empty = e if empty is None else (empty | e)
-    for ax in range(3):
-        dax = rayf_ref[:, ax:ax + 1]                  # (rt, 1)
-        oax = rayf_ref[:, 6 + ax:7 + ax]
-        near0 = jnp.abs(dax) < 1e-30
-        inv = jnp.where(near0, jnp.where(dax >= 0, big, -big),
-                        1.0 / jnp.where(near0, 1.0, dax))
-        lo = aabb_ref[ax:ax + 1, :]                   # (1, C)
-        hi = aabb_ref[3 + ax:4 + ax, :]
-        t1 = (lo - oax) * inv                         # (rt, C)
-        t2 = (hi - oax) * inv
-        lo_t = jnp.minimum(t1, t2)
-        hi_t = jnp.maximum(t1, t2)
-        tmin = lo_t if tmin is None else jnp.maximum(tmin, lo_t)
-        tmax = hi_t if tmax is None else jnp.minimum(tmax, hi_t)
-    ov = (tmax >= tmin) & ~empty
-    if not signed:
-        ov = ov & (tmax >= 0.0)
-    if maxt is not None:
-        ov = ov & (tmin < maxt)
-    entry_r = jnp.where(ov, tmin if signed else jnp.maximum(tmin, 0.0), big)
-    entry = jnp.min(entry_r, axis=0, keepdims=True)   # (1, C)
-    if want_exit:
-        exit_r = jnp.max(jnp.where(ov, tmax, -big), axis=1, keepdims=True)
-        return entry, exit_r                          # (1, C), (rt, 1)
-    return entry
-
-
-def _union_gate(rayf_ref, aabb_ref, maxt=None, signed=False):
-    """Tile-level gate: does ANY ray of the tile overlap the UNION AABB of
-    the cluster table (within its per-ray bound)? One box per tile (~rt x 18
-    flops) instead of the full (rt, C) schedule — the whole per-tile entry
-    computation is skipped behind this predicate when a tile's rays miss the
-    block entirely (sky tiles; streamed superblocks culled by the carried
-    t_best). Empty clusters contribute an inverted box, so an all-padding
-    block gates to False."""
-    big = jnp.float32(BIG)
-    lo, hi = [], []
-    for ax in range(3):
-        e = aabb_ref[ax:ax + 1, :] > aabb_ref[3 + ax:4 + ax, :]
-        lo.append(jnp.min(jnp.where(e, big, aabb_ref[ax:ax + 1, :])))
-        hi.append(jnp.max(jnp.where(e, -big, aabb_ref[3 + ax:4 + ax, :])))
-    tmin = None
-    tmax = None
-    for ax in range(3):
-        dax = rayf_ref[:, ax:ax + 1]
-        oax = rayf_ref[:, 6 + ax:7 + ax]
-        near0 = jnp.abs(dax) < 1e-30
-        inv = jnp.where(near0, jnp.where(dax >= 0, big, -big),
-                        1.0 / jnp.where(near0, 1.0, dax))
-        t1 = (lo[ax] - oax) * inv
-        t2 = (hi[ax] - oax) * inv
-        lo_t = jnp.minimum(t1, t2)
-        hi_t = jnp.maximum(t1, t2)
-        tmin = lo_t if tmin is None else jnp.maximum(tmin, lo_t)
-        tmax = hi_t if tmax is None else jnp.minimum(tmax, hi_t)
     ov = (tmax >= tmin) & (lo[0] <= hi[0])
     if not signed:
         ov = ov & (tmax >= 0.0)
-    if maxt is not None:
-        ov = ov & (tmin < maxt)
+    if maxt_row is not None:
+        ov = ov & (tmin < maxt_row)
     return jnp.any(ov)
 
 
@@ -509,7 +416,7 @@ def _kernel_mxu(rayf_ref, *refs, leaf: int, eps: float, with_n: bool,
     """Closest hit over an in-kernel front-to-back cluster schedule.
 
     The tile's per-cluster entry ts are computed once up front
-    (_slab_entries); the while_loop then extracts the nearest unvisited
+    (_slab_entries_t); the while_loop then extracts the nearest unvisited
     cluster each iteration (masked argmin over the (1, C) work vector —
     a selection sort fused with the traversal, so no sort pass and no
     schedule tables ever exist). Zero wasted iterations: exactly the
@@ -706,15 +613,17 @@ def _kernel_mxu_body(rayf_ref, rayf, maxt, t0_ref, feat_ref, nrm_ref,
         out_pay_ref[1, :] = out[7]
 
 
-def _mt_cluster_mxu_signed(rayf, feat_ref, c, leaf: int, eps: float):
+def _mt_cluster_mxu_signed(rayf, feat_ref, c, leaf: int, eps: float,
+                           t_layout: bool = False):
     """_mt_cluster_mxu WITHOUT the t >= 0 gate: crossings behind the ray
     origin stay valid. The reference's containers walk runs over the FULL
     sorted intersection list including negative ts
     (src/intersection.rs:29-62 walks xs; only hit() filters t >= 0)."""
     s = pl.ds(c * (4 * leaf), 4 * leaf)
+    dims = (((0,), (0,)), ((), ())) if t_layout else (((1,), (0,)), ((), ()))
     w = jax.lax.dot_general(
         rayf, feat_ref[:, s],
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=dims,
         precision=_MT_PRECISION,
         preferred_element_type=jnp.float32,
     )
@@ -748,12 +657,11 @@ def _crossing_kernel_mxu(rayf_ref, maxt_ref, hitgid_ref, feat_ref, cid_ref,
     schedule still skips clusters no ray's t<maxt segment overlaps, and the
     wrapper masks clusters that contain no container triangles at all.
     """
-    rayf = rayf_ref[:, :]                        # (RT, 10)
-    maxt = maxt_ref[:, :]                        # (RT, 1)
-    hitgid = hitgid_ref[:, :]                    # (RT, 1) i32
+    rayf = rayf_ref[:, :]                        # (10, RT) transposed
+    maxt_row = maxt_ref[:, :]                    # (1, RT)
     big = jnp.float32(BIG)
-    rt = rayf.shape[0]
-    gate = _union_gate(rayf_ref, aabb_ref, maxt=maxt, signed=True)
+    rt = rayf.shape[1]
+    gate = _union_gate_t(rayf_ref, aabb_ref, maxt_row=maxt_row, signed=True)
 
     @pl.when(jnp.logical_not(gate))
     def _skip():
@@ -763,9 +671,12 @@ def _crossing_kernel_mxu(rayf_ref, maxt_ref, hitgid_ref, feat_ref, cid_ref,
 
     @pl.when(gate)
     def _work():
-        entry = _slab_entries(rayf_ref, aabb_ref, maxt=maxt, signed=True)
-        C = entry.shape[1]
-        lanes2 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+        maxt_col = maxt_row[0, :][:, None]       # (RT, 1) for the MT bound
+        hitgid = hitgid_ref[0, :][:, None]       # (RT, 1) i32
+        entry = _slab_entries_t(rayf_ref, aabb_ref, maxt_row=maxt_row,
+                                signed=True)
+        C = entry.shape[0]
+        lanes2 = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
 
         def pop(work):
             m = jnp.min(work)
@@ -780,8 +691,9 @@ def _crossing_kernel_mxu(rayf_ref, maxt_ref, hitgid_ref, feat_ref, cid_ref,
             cnt = carry[3]
             last = carry[4]
             m_next, c_next, work = pop(work)
-            t, ok = _mt_cluster_mxu_signed(rayf, feat_ref, c, leaf, eps)
-            ok = ok & (t < maxt)
+            t, ok = _mt_cluster_mxu_signed(rayf, feat_ref, c, leaf, eps,
+                                           t_layout=True)
+            ok = ok & (t < maxt_col)
             lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
             gid = c * leaf + lane               # global triangle ids (RT, L)
             ok = ok & (gid != hitgid)
@@ -1550,15 +1462,16 @@ def mesh_crossing_count_mxu(o, d, t_hit, hit_gid, tri_p1, tri_e1, tri_e2,
     n_tiles = (R + pad) // rt
 
     feat = _tri_features(tri_p1, tri_e1, tri_e2, leaf)
-    rayf = _ray_features(o_p, d_p)
+    rayf = _ray_features_t(o_p, d_p)                     # (10, R')
     C = cluster_aabb.shape[0]
     # mask clusters that hold no container triangle: inverted boxes are
-    # dropped by _slab_entries' empty-cluster check
+    # dropped by the schedule's empty-cluster check
     has = jnp.any(tri_cid.reshape(C, leaf) >= 0, axis=1)
     empty_box = jnp.concatenate([jnp.ones((C, 3)), -jnp.ones((C, 3))],
                                 axis=1).astype(jnp.float32)
-    aabb_t = jnp.where(has[:, None], cluster_aabb.astype(jnp.float32),
-                       empty_box).T                          # (6, C)
+    aabb_t = _aabb_cols(jnp.where(has[:, None],
+                                  cluster_aabb.astype(jnp.float32),
+                                  empty_box))            # (C, 8)
 
     kernel = functools.partial(_crossing_kernel_mxu, leaf=leaf, eps=eps,
                                n_containers=n_containers)
@@ -1566,9 +1479,9 @@ def mesh_crossing_count_mxu(o, d, t_hit, hit_gid, tri_p1, tri_e1, tri_e2,
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((rt, 10), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((10, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(feat.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tri_cid.shape[0]), lambda i: (0, 0),
@@ -1588,7 +1501,7 @@ def mesh_crossing_count_mxu(o, d, t_hit, hit_gid, tri_p1, tri_e1, tri_e2,
         ],
         interpret=interpret,
         compiler_params=_VMEM_LIMIT,
-    )(rayf, t_p.astype(jnp.float32)[:, None], g_p.astype(jnp.int32)[:, None],
+    )(rayf, t_p.astype(jnp.float32)[None, :], g_p.astype(jnp.int32)[None, :],
       feat, tri_cid.astype(jnp.int32)[None, :], aabb_t)
     return cnt[:, :R].T, last[:, :R].T.astype(o.dtype)
 
