@@ -29,13 +29,28 @@ def lighting(
     normalv,           # (..., 3)
     in_shadow,         # (...,) bool
 ):
+    """Packed-input view of lighting3 (unpacks at the boundary)."""
+    return lighting3(surface_color, ambient, diffuse, specular, shininess,
+                     light_position, light_intensity, unpack3(point),
+                     unpack3(eyev), unpack3(normalv), in_shadow)
+
+
+def lighting3(
+    surface_color,     # (..., 3) pattern-resolved material color
+    ambient, diffuse, specular, shininess,     # (...,) each
+    light_position,    # (3,) or (..., 3)
+    light_intensity,   # (3,) or (..., 3)
+    p3, e3, n3,        # component tuples: three (...,) arrays each
+    in_shadow,         # (...,) bool
+):
     # component (SoA) math throughout: (R, 3) intermediates run at 3/128
-    # VPU lane occupancy on TPU (see vec.unpack3)
+    # VPU lane occupancy on TPU (see vec.unpack3); callers already in
+    # component form (the integrator shading stage) pass tuples directly
     scx, scy, scz = unpack3(surface_color)
     lix, liy, liz = unpack3(light_intensity * jnp.ones_like(surface_color))
-    px, py, pz = unpack3(point)
-    ex, ey, ez = unpack3(eyev)
-    nx, ny, nz = unpack3(normalv)
+    px, py, pz = p3
+    ex, ey, ez = e3
+    nx, ny, nz = n3
     lp = light_position * jnp.ones_like(surface_color)
     lpx, lpy, lpz = unpack3(lp)
 

@@ -997,12 +997,29 @@ class Comps(NamedTuple):
     n2: jnp.ndarray
 
 
-def prepare_hit(scene: Scene, o, d, hit: HitInfo, cfg: RenderConfig,
-                n2_enter=None, need_refraction: bool = True,
-                refraction_live=None) -> Comps:
-    """Derive the shading frame for a wavefront of hits
-    (reference: src/intersection.rs:17-77). Misses carry finite dummy values;
-    callers mask on hit.valid.
+class Comps3(NamedTuple):
+    """Component (SoA) shading frame — same semantics and n1/n2 INVARIANT
+    as Comps, but every 3-vector is a tuple of three (R,) arrays so the
+    whole shading stage runs lane-major on TPU (see vec.unpack3)."""
+
+    point: tuple
+    eyev: tuple
+    normalv: tuple         # flipped toward the eye when inside
+    inside: jnp.ndarray
+    over_point: tuple
+    under_point: tuple
+    reflectv: tuple
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+
+
+def prepare_hit3(scene: Scene, o, d, hit: HitInfo, cfg: RenderConfig,
+                 n2_enter=None, need_refraction: bool = True,
+                 refraction_live=None) -> Comps3:
+    """Derive the shading frame for a wavefront of hits, in component (SoA)
+    form (reference: src/intersection.rs:17-77). Misses carry finite dummy
+    values; callers mask on hit.valid. Every formula mirrors the packed
+    AoS association order exactly, so f64 goldens stay pinned.
 
     need_refraction=False skips the n1/n2 census entirely (bounce-tree LEAF
     nodes: both secondary children are statically black, so neither Snell
@@ -1010,27 +1027,59 @@ def prepare_hit(scene: Scene, o, d, hit: HitInfo, cfg: RenderConfig,
     refraction_live masks it per ray (see refraction_indices)."""
     eps = cfg.epsilon
     t_safe = jnp.where(hit.valid, hit.t, 1.0)
-    point = o + d * t_safe[:, None]
-    eyev = -d
-    n_raw = normal_at(scene, hit, point, eps)
-    inside = dot(n_raw, eyev) < 0.0
-    normalv = jnp.where(inside[:, None], -n_raw, n_raw)
-    reflectv = reflect(d, normalv)
+    ox, oy, oz = unpack3(o)
+    dx, dy, dz = unpack3(d)
+    px, py, pz = ox + dx * t_safe, oy + dy * t_safe, oz + dz * t_safe
+    ex, ey, ez = -dx, -dy, -dz
+    if scene.static.n_prims:
+        n_raw = normal_at(scene, hit, pack3(px, py, pz), eps)
+    else:
+        # pure-mesh scene: the kernel already selected/blended the world
+        # normal (HitInfo.tri_n)
+        n_raw = hit.tri_n
+    nx, ny, nz = unpack3(n_raw)
+    inside = (nx * ex + ny * ey + nz * ez) < 0.0
+    nx = jnp.where(inside, -nx, nx)
+    ny = jnp.where(inside, -ny, ny)
+    nz = jnp.where(inside, -nz, nz)
+    k = 2.0 * (dx * nx + dy * ny + dz * nz)
+    rvx, rvy, rvz = dx - nx * k, dy - ny * k, dz - nz * k
     if need_refraction:
         n1, n2 = refraction_indices(scene, o, d, hit, cfg,
                                     n2_enter=n2_enter, live=refraction_live)
     else:
         n1 = n2 = jnp.ones(o.shape[:1], o.dtype)
-    return Comps(
-        point=point,
-        eyev=eyev,
-        normalv=normalv,
+    return Comps3(
+        point=(px, py, pz),
+        eyev=(ex, ey, ez),
+        normalv=(nx, ny, nz),
         inside=inside,
-        over_point=point + normalv * eps,
-        under_point=point - normalv * eps,
-        reflectv=reflectv,
+        over_point=(px + nx * eps, py + ny * eps, pz + nz * eps),
+        under_point=(px - nx * eps, py - ny * eps, pz - nz * eps),
+        reflectv=(rvx, rvy, rvz),
         n1=n1,
         n2=n2,
+    )
+
+
+def prepare_hit(scene: Scene, o, d, hit: HitInfo, cfg: RenderConfig,
+                n2_enter=None, need_refraction: bool = True,
+                refraction_live=None) -> Comps:
+    """Packed (R, 3) view of prepare_hit3 — the conformance-facing API
+    (rtc_tpu.testing builds reference Computations from it)."""
+    c = prepare_hit3(scene, o, d, hit, cfg, n2_enter=n2_enter,
+                     need_refraction=need_refraction,
+                     refraction_live=refraction_live)
+    return Comps(
+        point=pack3(*c.point),
+        eyev=pack3(*c.eyev),
+        normalv=pack3(*c.normalv),
+        inside=c.inside,
+        over_point=pack3(*c.over_point),
+        under_point=pack3(*c.under_point),
+        reflectv=pack3(*c.reflectv),
+        n1=c.n1,
+        n2=c.n2,
     )
 
 
@@ -1067,17 +1116,20 @@ def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None):
     # which exist only when this node can branch AND the hit material is
     # transparent (src/world.rs:71-77,132-134) — so leaf nodes skip the
     # containers census statically and opaque-hit rays are masked out of it
-    comps = prepare_hit(
+    comps = prepare_hit3(
         scene, o, d, hit, cfg, n2_enter=rec["ior"],
         need_refraction=budget >= 4 and st.any_refractive,
         refraction_live=valid & (rec["transparency"] > 0.0))
-    point, eyev, normalv = comps.point, comps.eyev, comps.normalv
+    px, py, pz = comps.point
+    ex, ey, ez = comps.eyev
+    nx, ny, nz = comps.normalv
     # Dead lanes (misses) still flow through shadow/secondary sweeps; parking
     # their ray origins far outside every AABB makes the cluster cull reject
     # them immediately instead of dragging them through triangle tests.
+    # (Everything below is component/SoA math — see vec.unpack3 — packed
+    # only at the kernel and recursion boundaries.)
     far = jnp.asarray(1e12, o.dtype)
-    over = jnp.where(valid[:, None], comps.over_point, far)
-    under = jnp.where(valid[:, None], comps.under_point, far)
+    ovx, ovy, ovz = (jnp.where(valid, c, far) for c in comps.over_point)
 
     # pattern-space sampling; pattern-less objects read the material color
     # directly (keeping mat_color a live differentiable parameter).
@@ -1085,21 +1137,32 @@ def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None):
     # floor() boundaries that axis-aligned geometry lands on, so this einsum
     # (and XLA's fusion of it) is free to reassociate.
     pat_kind = rec["pat_kind"]
-    pat_p = jnp.einsum("rij,rj->ri", rec["pat_inv"][:, :, :3], point) + rec["pat_inv"][:, :, 3]
-    base_color = patterns.color_at(pat_p, pat_kind, rec["pat_a"], rec["pat_b"])
-    base_color = jnp.where(
-        (pat_kind == patterns.NONE)[:, None], rec["color"], base_color)
+    if st.any_pattern:
+        point_pk = pack3(px, py, pz)
+        pat_p = jnp.einsum("rij,rj->ri", rec["pat_inv"][:, :, :3],
+                           point_pk) + rec["pat_inv"][:, :, 3]
+        base_color = patterns.color_at(pat_p, pat_kind, rec["pat_a"],
+                                       rec["pat_b"])
+        base_color = jnp.where(
+            (pat_kind == patterns.NONE)[:, None], rec["color"], base_color)
+    else:
+        # no patterned object anywhere: the transform + lookup compile away
+        base_color = rec["color"]
 
     if cfg.shadows:
         # occlusion only affects the image where the surface faces the light
         # (lighting zeroes diffuse+specular when light·normal < 0 regardless
         # of shadow, src/material.rs:57-67) — drop back-facing lanes from the
         # shadow sweep
-        facing = dot(normalize(scene.light_pos - point), normalv) >= 0.0
-        shadowed = is_shadowed(scene, over, cfg, live=valid & facing)
+        lvx, lvy, lvz = normalize3(
+            scene.light_pos[0] - px, scene.light_pos[1] - py,
+            scene.light_pos[2] - pz)
+        facing = (lvx * nx + lvy * ny + lvz * nz) >= 0.0
+        shadowed = is_shadowed(scene, pack3(ovx, ovy, ovz), cfg,
+                               live=valid & facing)
     else:
         shadowed = jnp.zeros_like(valid)
-    surface = lighting.lighting(
+    surface = lighting.lighting3(
         base_color,
         rec["ambient"],
         rec["diffuse"],
@@ -1107,9 +1170,9 @@ def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None):
         rec["shininess"],
         scene.light_pos,
         scene.light_intensity,
-        point,
-        eyev,
-        normalv,
+        (px, py, pz),
+        (ex, ey, ez),
+        (nx, ny, nz),
         shadowed,
     )
 
@@ -1122,16 +1185,19 @@ def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None):
     # traversal schedule culls them: every AABB is behind the ray (tmax < 0).
     # Matches the reference's early-outs (reflective == 0 / transparency == 0
     # return BLACK without spawning a ray, src/world.rs:117-119,132-134).
-    park_d = jnp.full_like(d, 0.5773502692)
+    park = jnp.asarray(0.5773502692, o.dtype)
 
     refl = jnp.zeros_like(o)
     if can_branch and st.any_reflective:
         # (src/intersection.rs:27, world.rs:125)
-        live_r = (valid & (reflective > 0.0))[:, None]
+        live_r = valid & (reflective > 0.0)
+        rvx, rvy, rvz = comps.reflectv
         refl = color_at(
             scene,
-            jnp.where(live_r, over, far),
-            jnp.where(live_r, comps.reflectv, park_d),
+            pack3(jnp.where(live_r, ovx, far), jnp.where(live_r, ovy, far),
+                  jnp.where(live_r, ovz, far)),
+            pack3(jnp.where(live_r, rvx, park), jnp.where(live_r, rvy, park),
+                  jnp.where(live_r, rvz, park)),
             cfg, budget - 3,
         ) * reflective[:, None]
 
@@ -1140,17 +1206,25 @@ def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None):
     if can_branch and st.any_refractive:
         # Snell construction (reference: src/world.rs:140-162)
         n_ratio = n1 / n2
-        cos_i = dot(eyev, normalv)
+        cos_i = ex * nx + ey * ny + ez * nz
         sin2_t = n_ratio * n_ratio * (1.0 - cos_i * cos_i)
         tir = sin2_t > 1.0
         cos_t = safe_sqrt(1.0 - jnp.minimum(sin2_t, 1.0))
-        refr_dir = normalv * (n_ratio * cos_i - cos_t)[:, None] - eyev * n_ratio[:, None]
-        live_t = (valid & (transparency > 0.0) & ~tir)[:, None]
+        a = n_ratio * cos_i - cos_t
+        rdx, rdy, rdz = nx * a - ex * n_ratio, ny * a - ey * n_ratio, \
+            nz * a - ez * n_ratio
+        live_t = valid & (transparency > 0.0) & ~tir
+        unx, uny, unz = (jnp.where(valid, c, far)
+                         for c in comps.under_point)
         refr = (
             color_at(
                 scene,
-                jnp.where(live_t, under, far),
-                jnp.where(live_t, refr_dir, park_d),
+                pack3(jnp.where(live_t, unx, far),
+                      jnp.where(live_t, uny, far),
+                      jnp.where(live_t, unz, far)),
+                pack3(jnp.where(live_t, rdx, park),
+                      jnp.where(live_t, rdy, park),
+                      jnp.where(live_t, rdz, park)),
                 cfg, budget - 3,
             )
             * transparency[:, None]
@@ -1160,7 +1234,7 @@ def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None):
     if st.any_reflective and st.any_refractive:
         # Schlick blend only when the material is both (src/world.rs:71-77)
         both = (reflective > 0.0) & (transparency > 0.0)
-        reflectance = schlick(dot(eyev, normalv), n1, n2)
+        reflectance = schlick(ex * nx + ey * ny + ez * nz, n1, n2)
         secondary = jnp.where(
             both[:, None],
             refl * reflectance[:, None] + refr * (1.0 - reflectance)[:, None],
