@@ -717,6 +717,131 @@ def _crossing_kernel_mxu(rayf_ref, maxt_ref, hitgid_ref, feat_ref, cid_ref,
             last_ref[k, :] = out[4][k]
 
 
+def _kernel_mxu_cs(rayf_ref, feat_ref, nrm_ref, aabb_ref, lp_ref,
+                   t_ref, idx_ref, n_ref, sh_ref, *, leaf: int, eps: float):
+    """FUSED closest-hit + shadow-occlusion pass for pure-mesh scenes: one
+    kernel launch per node instead of two. Phase 1 is the standard closest
+    traversal (_kernel_mxu_body, with_n). Phase 2 derives the shadow ray
+    IN-REGISTERS on (rt,) lane vectors, replicating the integrator's exact
+    formulas (prepare_hit3 normal flip + over_point; color_at facing test;
+    is_shadowed direction/distance/live semantics — reference:
+    src/intersection.rs:17-77, src/material.rs:57-67, src/world.rs:100-114).
+    Phase 3 runs the any-hit loop on the derived rays against the SAME
+    VMEM-resident tables — the shadow sweep's launch, ray-feature stream and
+    HBM round-trip of the wavefront state disappear.
+
+    Outputs: t/idx/n as mesh_closest_hit_mxu(tri_n=...), plus sh (1, rt)
+    i32: 1 where the mesh occludes the light from the hit's over_point
+    (0 for misses, back-facing lanes, and unoccluded rays)."""
+    rayf = rayf_ref[:, :]                        # (10, RT)
+    big = jnp.float32(BIG)
+    rt = rayf.shape[1]
+    gate = _union_gate_t(rayf_ref, aabb_ref)
+
+    @pl.when(jnp.logical_not(gate))
+    def _skip():
+        t_ref[0, :] = jnp.full((rt,), big, jnp.float32)
+        idx_ref[0, :] = jnp.full((rt,), -1, jnp.int32)
+        n_ref[0, :] = jnp.zeros((rt,), jnp.float32)
+        n_ref[1, :] = jnp.zeros((rt,), jnp.float32)
+        n_ref[2, :] = jnp.zeros((rt,), jnp.float32)
+        sh_ref[0, :] = jnp.zeros((rt,), jnp.int32)
+
+    @pl.when(gate)
+    def _work():
+        # ---- phase 1: closest hit (writes t/idx/n refs) ----
+        _kernel_mxu_body(
+            rayf_ref, rayf, None, None, feat_ref, nrm_ref, None, aabb_ref,
+            t_ref, idx_ref, n_ref, leaf=leaf, eps=eps, with_n=True,
+            with_uv=False, with_sn=False, with_t0=False)
+
+        # ---- phase 2: shadow-ray derivation on (rt,) lane vectors ----
+        t_best = t_ref[0, :]
+        idx = idx_ref[0, :]
+        hit_ok = idx >= 0
+        t_safe = jnp.where(hit_ok, t_best, 1.0)
+        dx, dy, dz = rayf[0, :], rayf[1, :], rayf[2, :]
+        ox, oy, oz = rayf[6, :], rayf[7, :], rayf[8, :]
+        px = ox + dx * t_safe
+        py = oy + dy * t_safe
+        pz = oz + dz * t_safe
+        # unit flat normal (phase-1 payload = tri_n table rows), flipped
+        # toward the eye exactly as prepare_hit3
+        nx, ny, nz = n_ref[0, :], n_ref[1, :], n_ref[2, :]
+        inside = (nx * (-dx) + ny * (-dy) + nz * (-dz)) < 0.0
+        nx = jnp.where(inside, -nx, nx)
+        ny = jnp.where(inside, -ny, ny)
+        nz = jnp.where(inside, -nz, nz)
+        lp0, lp1, lp2 = lp_ref[0, 0], lp_ref[0, 1], lp_ref[0, 2]
+        # facing test from the hit POINT (color_at)
+        fx, fy, fz = lp0 - px, lp1 - py, lp2 - pz
+        fsq = fx * fx + fy * fy + fz * fz
+        fsafe = jnp.where(fsq > 0.0, fsq, 1.0)
+        finv = jnp.where(fsq > 0.0, jnp.sqrt(fsafe) ** -1, 0.0)
+        facing = ((fx * finv) * nx + (fy * finv) * ny
+                  + (fz * finv) * nz) >= 0.0
+        # over_point, far-parked for misses (color_at)
+        farv = jnp.float32(1e12)
+        ovx = jnp.where(hit_ok, px + nx * eps, farv)
+        ovy = jnp.where(hit_ok, py + ny * eps, farv)
+        ovz = jnp.where(hit_ok, pz + nz * eps, farv)
+        # shadow ray direction/distance/live bound (is_shadowed)
+        vx, vy, vz = lp0 - ovx, lp1 - ovy, lp2 - ovz
+        vv = vx * vx + vy * vy + vz * vz
+        dist = jnp.sqrt(jnp.maximum(vv, 1e-30))
+        sdx, sdy, sdz = vx / dist, vy / dist, vz / dist
+        live = hit_ok & facing
+        maxt = jnp.where(live, dist, -1.0)
+        cx = ovy * sdz - ovz * sdy
+        cy = ovz * sdx - ovx * sdz
+        cz = ovx * sdy - ovy * sdx
+        rayf2 = jnp.concatenate(
+            [sdx[None, :], sdy[None, :], sdz[None, :],
+             cx[None, :], cy[None, :], cz[None, :],
+             ovx[None, :], ovy[None, :], ovz[None, :],
+             jnp.ones((1, rt), jnp.float32)], axis=0)   # (10, rt)
+
+        # ---- phase 3: any-hit over the derived rays (same tables) ----
+        maxt_row = maxt[None, :]
+        active = (maxt > 0.0).astype(jnp.int32)
+        maxt_col = maxt[:, None]
+        entry = _slab_entries_t(rayf2, aabb_ref, maxt_row=maxt_row)
+        C = entry.shape[0]
+        lanes2 = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+
+        def pop(work):
+            m = jnp.min(work)
+            c = jnp.min(jnp.where(work == m, lanes2, jnp.int32(2**30)))
+            return m, c, jnp.where(lanes2 == c, big, work)
+
+        def cond(carry):
+            m, n_open = carry[1], carry[3]
+            return (m < big) & (n_open > 0)
+
+        def body(carry):
+            work, m, c, n_open, found = carry
+            m2, c2, work = pop(work)
+            m_next, c_next, work = pop(work)
+            g2 = m2 < big
+            c2 = jnp.where(g2, c2, 0)
+            t, ok = _mt_cluster_mxu(rayf2, feat_ref, c, leaf, eps,
+                                    t_layout=True)
+            t2, ok2 = _mt_cluster_mxu(rayf2, feat_ref, c2, leaf, eps,
+                                      t_layout=True)
+            ok = ok & (t < maxt_col)
+            ok2 = ok2 & (t2 < maxt_col)
+            found = found | jnp.any(ok, axis=1).astype(jnp.int32) \
+                | (jnp.any(ok2, axis=1) & g2).astype(jnp.int32)
+            n_open = jnp.sum(active * (1 - found), dtype=jnp.int32)
+            return work, m_next, c_next, n_open, found
+
+        m0, c0, work0 = pop(entry)
+        out = jax.lax.while_loop(
+            cond, body, (work0, m0, c0, jnp.sum(active, dtype=jnp.int32),
+                         jnp.zeros((rt,), jnp.int32)))
+        sh_ref[0, :] = out[4]
+
+
 def _anyhit_kernel_mxu(rayf_ref, maxt_ref, feat_ref, aabb_ref, hit_ref, *,
                        leaf: int, eps: float):
     """Occlusion query over the in-kernel cluster schedule; exits as soon
@@ -1624,6 +1749,66 @@ def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
     if with_n or with_sn or want_uv:
         return t, idx, out[2][:, :R].T.astype(o.dtype)
     return t, idx
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("leaf", "ray_tile", "eps", "interpret"),
+)
+def mesh_closest_shadow_mxu(o, d, tri_p1, tri_e1, tri_e2, tri_n,
+                            cluster_aabb, light_pos, leaf: int,
+                            ray_tile: int = 512, eps: float = EPSILON,
+                            interpret: bool = False):
+    """Fused closest-hit + shadow pass (see _kernel_mxu_cs). Pure-mesh
+    single-VMEM-block scenes only (the integrator gates on that). Returns
+    (t, idx, n, shadowed): the mesh_closest_hit_mxu(tri_n=...) contract
+    plus shadowed (R,) bool — light occluded from the hit's over_point."""
+    assert _blocked(tri_p1, leaf, VMEM_TRI_BUDGET) == 1
+    R = o.shape[0]
+    rt = min(ray_tile, max(R, 128))
+    pad = (-R) % rt
+    o_p = jnp.pad(o, ((0, pad), (0, 0)), constant_values=BIG)
+    d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+    n_tiles = (R + pad) // rt
+
+    feat = _tri_features(tri_p1, tri_e1, tri_e2, leaf)
+    rayf = _ray_features_t(o_p, d_p)
+    aabb_c = _aabb_cols(cluster_aabb)
+    nrm = tri_n.astype(jnp.float32).T                    # (3, T)
+    lp = jnp.asarray(light_pos, jnp.float32).reshape(1, 3)
+
+    kernel = functools.partial(_kernel_mxu_cs, leaf=leaf, eps=eps)
+    t, idx, n, sh = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((10, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(feat.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(nrm.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(aabb_c.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(lp.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, R + pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, R + pad), jnp.int32),
+            jax.ShapeDtypeStruct((3, R + pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, R + pad), jnp.int32),
+        ],
+        interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
+    )(rayf, feat, nrm, aabb_c, lp)
+    t_out, idx_out = t[0, :R], idx[0, :R]
+    t_out = jnp.where(idx_out >= 0, t_out, BIG).astype(o.dtype)
+    return (t_out, idx_out, n[:, :R].T.astype(o.dtype), sh[0, :R] != 0)
 
 
 @functools.partial(

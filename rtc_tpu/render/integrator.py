@@ -295,6 +295,46 @@ def _kernel_closest_n_jvp(spec, primals, tangents):
 
 
 @functools.partial(_jax.custom_jvp, nondiff_argnums=(0,))
+def _kernel_closest_shadow(spec, o, d, p1, e1, e2, nrm, aabb, lp):
+    """FUSED closest-hit + shadow pass for pure-mesh scenes (see
+    mesh_intersect._kernel_mxu_cs): one launch per bounce node computes the
+    closest hit AND whether the mesh occludes the light from its over_point,
+    deriving the shadow ray in-registers. Returns (t, idx, n, shadowed);
+    tangent rule identical to _kernel_closest_n (shadowed is boolean — the
+    reference's shadow gating is non-differentiable, src/material.rs:57)."""
+    impl, _, leaf, ray_tile, eps = spec
+    from ..ops.pallas.mesh_intersect import mesh_closest_shadow_mxu
+
+    sg = _jax.lax.stop_gradient
+    return mesh_closest_shadow_mxu(
+        sg(o), sg(d), sg(p1), sg(e1), sg(e2), sg(nrm), sg(aabb), sg(lp),
+        leaf=leaf, ray_tile=ray_tile, eps=eps,
+        interpret=impl.endswith("_interpret"))
+
+
+@_kernel_closest_shadow.defjvp
+def _kernel_closest_shadow_jvp(spec, primals, tangents):
+    o, d, p1, e1, e2, nrm, aabb, lp = primals
+    do, dd, dp1, de1, de2, dnrm, _, _ = tangents
+    t, idx, n, sh = _kernel_closest_shadow(spec, *primals)
+    eps = spec[4]
+    hit_ok = idx >= 0
+    idx_c = jnp.where(hit_ok, idx, 0)
+
+    def refined(o, d, p1, e1, e2, nrm):
+        t_ref, _, _, _ = intersect.triangle(
+            o, d, p1[idx_c], e1[idx_c], e2[idx_c], eps)
+        return t_ref, nrm[idx_c]
+
+    _, (dt, dn) = _jax.jvp(refined, (o, d, p1, e1, e2, nrm),
+                           (do, dd, dp1, de1, de2, dnrm))
+    dt = jnp.where(hit_ok, dt, 0.0)
+    dn = jnp.where(hit_ok[:, None], dn, 0.0)
+    z0 = lambda x: _np.zeros(x.shape, dtype=_jax.dtypes.float0)
+    return (t, idx, n, sh), (dt, z0(idx), dn, z0(sh))
+
+
+@functools.partial(_jax.custom_jvp, nondiff_argnums=(0,))
 def _kernel_closest_tlas(spec, o, d, p1, e1, e2, nrm, caabb, inst_ab,
                          inst_rf, inst_aabb, inst_mesh, inst_obj):
     """Forward-only INSTANCED (TLAS) search with exact derivatives.
@@ -436,6 +476,21 @@ def _use_tlas(scene: Scene, cfg: RenderConfig, impl: str) -> bool:
     instanced scene pays the flat-table cost)."""
     return bool(scene.static.tlas_n_inst) and impl.startswith("mxu") \
         and cfg.prim_axis is None
+
+
+def _use_fused_shadow(scene: Scene, cfg: RenderConfig, impl: str) -> bool:
+    """Fused closest+shadow eligibility: pure-mesh flat scene whose feature
+    slab fits one VMEM block, kernel backend, shadows on, no primitive
+    sharding, no TLAS. (Smooth meshes and analytic prims keep the split
+    sweeps: their hit normals / prim merge happen outside the kernel.)"""
+    from ..ops.pallas.mesh_intersect import VMEM_TRI_BUDGET, _blocked
+
+    st = scene.static
+    return (cfg.shadows and impl.startswith("mxu")
+            and cfg.prim_axis is None and st.n_prims == 0
+            and st.n_tris > 0 and not st.any_smooth
+            and not _use_tlas(scene, cfg, impl)
+            and _blocked(scene.tri_p1, st.cluster_size, VMEM_TRI_BUDGET) == 1)
 
 
 def _resolve_mesh_impl(scene: Scene, cfg: RenderConfig, dtype) -> str:
@@ -1108,7 +1163,24 @@ def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None):
     if st.n_objects == 0:
         return jnp.zeros_like(o)
 
-    hit = closest_hit(scene, o, d, cfg)
+    impl_ch = _resolve_mesh_impl(scene, cfg, o.dtype)
+    sh_k = None
+    if (cfg.shadows and impl_ch in _KERNEL_IMPLS
+            and _use_fused_shadow(scene, cfg, impl_ch)):
+        # one fused kernel pass: closest hit + in-kernel shadow query
+        spec = (impl_ch, st.n_super, st.cluster_size,
+                min(512, max(128, o.shape[0])), cfg.epsilon)
+        t_t, idx_t, n_k, sh_k = _kernel_closest_shadow(
+            spec, o, d, scene.tri_p1, scene.tri_e1, scene.tri_e2,
+            scene.tri_n, scene.cluster_aabb, scene.light_pos)
+        tri_obj = (jnp.full_like(idx_t, st.single_tri_obj)
+                   if st.single_tri_obj >= 0 else scene.tri_obj[idx_t])
+        h_valid = t_t < BIG * 0.5
+        hit = HitInfo(t=t_t, valid=h_valid, obj=tri_obj,
+                      prim=jnp.zeros_like(idx_t), tri=idx_t,
+                      is_tri=h_valid, tri_n=n_k)
+    else:
+        hit = closest_hit(scene, o, d, cfg)
     valid = hit.valid
     obj = hit.obj
     rec = object_record(scene, obj)  # one fused gather of all shading data
@@ -1149,7 +1221,12 @@ def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None):
         # no patterned object anywhere: the transform + lookup compile away
         base_color = rec["color"]
 
-    if cfg.shadows:
+    if cfg.shadows and sh_k is not None:
+        # the fused kernel already derived the shadow ray (same facing /
+        # over_point / distance formulas, in-registers) and ran the
+        # occlusion loop against the VMEM-resident tables
+        shadowed = sh_k
+    elif cfg.shadows:
         # occlusion only affects the image where the surface faces the light
         # (lighting zeroes diffuse+specular when light·normal < 0 regardless
         # of shadow, src/material.rs:57-67) — drop back-facing lanes from the

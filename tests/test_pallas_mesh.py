@@ -503,3 +503,68 @@ def test_blocked_streaming_with_normal_payload(teapot32):
     np.testing.assert_allclose(np.asarray(n1)[same], np.asarray(n2)[same],
                                rtol=0, atol=1e-6)
     assert (np.asarray(i2)[~hit] == -1).all()
+
+
+def test_fused_closest_shadow_matches_split():
+    """The fused closest+shadow kernel (one launch per node) must agree
+    with the split closest_hit + is_shadowed pipeline on the cow scene:
+    identical hits, and shadow flags equal except at epsilon knife edges
+    (the in-kernel over_point/facing math may FMA-associate differently
+    from the XLA-side formulas)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rtc_tpu.models.scenes import REGISTRY
+    from rtc_tpu.render import integrator
+    from rtc_tpu.render.camera import camera_rays
+    from rtc_tpu.scene.compile import compile_scene
+    from rtc_tpu.utils.config import RenderConfig
+
+    world, cam = REGISTRY["cow"](64)
+    scene = compile_scene(world, dtype=jnp.float32)
+    cfg = RenderConfig(dtype="float32", mesh_impl="mxu_interpret",
+                       ray_tile=2048)
+    dt = jnp.float32
+    o, d = camera_rays(
+        jnp.asarray(cam.transform_inverse, dt), cam.hsize, cam.vsize,
+        jnp.asarray(cam.half_width, dt), jnp.asarray(cam.half_height, dt),
+        jnp.asarray(cam.pixel_size, dt), dt)
+
+    assert integrator._use_fused_shadow(scene, cfg, "mxu_interpret")
+    spec = ("mxu_interpret", scene.static.n_super, scene.static.cluster_size,
+            512, cfg.epsilon)
+    t_f, idx_f, n_f, sh_f = integrator._kernel_closest_shadow(
+        spec, o, d, scene.tri_p1, scene.tri_e1, scene.tri_e2,
+        scene.tri_n, scene.cluster_aabb, scene.light_pos)
+
+    hit = integrator.closest_hit(scene, o, d, cfg)
+    comps = integrator.prepare_hit(scene, o, d, hit, cfg,
+                                   need_refraction=False)
+    over = jnp.where(hit.valid[:, None], comps.over_point,
+                     jnp.asarray(1e12, dt))
+    from rtc_tpu.ops.vec import dot, normalize
+
+    facing = dot(normalize(scene.light_pos - comps.point),
+                 comps.normalv) >= 0.0
+    sh_s = integrator.is_shadowed(scene, over, cfg, live=hit.valid & facing)
+
+    t_f, t_s = np.asarray(t_f), np.asarray(hit.t)
+    hit_f, hit_s = t_f < 1e29, np.asarray(hit.valid)
+    assert (hit_f == hit_s).all()
+    np.testing.assert_allclose(t_f[hit_f], t_s[hit_f], atol=1e-4)
+    assert (np.asarray(idx_f)[hit_f] == np.asarray(hit.tri)[hit_f]).all()
+    np.testing.assert_allclose(np.asarray(n_f)[hit_f],
+                               np.asarray(hit.tri_n)[hit_f], atol=1e-4)
+    mism = int((np.asarray(sh_f) != np.asarray(sh_s)).sum())
+    assert mism <= max(2, hit_f.sum() // 1000), (
+        f"fused shadow flags differ on {mism} rays")
+
+    # end-to-end: fused color vs split color (shadows flip only at eps
+    # knife edges)
+    img_f = np.asarray(integrator.color_at(scene, o, d, cfg))
+    cfg_bf = dataclasses.replace(cfg, mesh_impl="bruteforce")
+    img_b = np.asarray(integrator.color_at(scene, o, d, cfg_bf))
+    err = np.abs(img_f - img_b).max(axis=1)
+    assert np.quantile(err, 0.999) < 2e-3 and (err > 0.05).sum() <= 3
