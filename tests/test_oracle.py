@@ -42,6 +42,7 @@ SPECS = {
     "teddy": (100, 5),
     "single_sphere": (100, 5),
     "cow_herd": (12, 5),
+    "cow_herd_smooth": (12, 5),   # instanced + smooth (TLAS sn path's scene)
 }
 
 WIDTH = 64
