@@ -718,7 +718,8 @@ def _crossing_kernel_mxu(rayf_ref, maxt_ref, hitgid_ref, feat_ref, cid_ref,
 
 
 def _kernel_mxu_cs(rayf_ref, feat_ref, nrm_ref, aabb_ref, lp_ref,
-                   t_ref, idx_ref, n_ref, sh_ref, *, leaf: int, eps: float):
+                   t_ref, idx_ref, n_ref, sh_ref, *, leaf: int, eps: float,
+                   with_sn: bool = False):
     """FUSED closest-hit + shadow-occlusion pass for pure-mesh scenes: one
     kernel launch per node instead of two. Phase 1 is the standard closest
     traversal (_kernel_mxu_body, with_n). Phase 2 derives the shadow ray
@@ -732,7 +733,13 @@ def _kernel_mxu_cs(rayf_ref, feat_ref, nrm_ref, aabb_ref, lp_ref,
 
     Outputs: t/idx/n as mesh_closest_hit_mxu(tri_n=...), plus sh (1, rt)
     i32: 1 where the mesh occludes the light from the hit's over_point
-    (0 for misses, back-facing lanes, and unoccluded rays)."""
+    (0 for misses, back-facing lanes, and unoccluded rays).
+
+    with_sn=True reads nrm_ref as the (9, T) corner-normal slab and blends
+    the winner's corners in phase 1 (smooth meshes); phase 2 then
+    normalizes the blend before the flip (mirroring closest_hit's
+    normalize of the sn payload). The n OUTPUT stays the raw blend so the
+    public contract matches mesh_closest_hit_mxu(tri_sn=...)."""
     rayf = rayf_ref[:, :]                        # (10, RT)
     big = jnp.float32(BIG)
     rt = rayf.shape[1]
@@ -751,9 +758,11 @@ def _kernel_mxu_cs(rayf_ref, feat_ref, nrm_ref, aabb_ref, lp_ref,
     def _work():
         # ---- phase 1: closest hit (writes t/idx/n refs) ----
         _kernel_mxu_body(
-            rayf_ref, rayf, None, None, feat_ref, nrm_ref, None, aabb_ref,
-            t_ref, idx_ref, n_ref, leaf=leaf, eps=eps, with_n=True,
-            with_uv=False, with_sn=False, with_t0=False)
+            rayf_ref, rayf, None, None, feat_ref,
+            None if with_sn else nrm_ref,
+            nrm_ref if with_sn else None, aabb_ref,
+            t_ref, idx_ref, n_ref, leaf=leaf, eps=eps, with_n=not with_sn,
+            with_uv=False, with_sn=with_sn, with_t0=False)
 
         # ---- phase 2: shadow-ray derivation on (rt,) lane vectors ----
         t_best = t_ref[0, :]
@@ -765,9 +774,16 @@ def _kernel_mxu_cs(rayf_ref, feat_ref, nrm_ref, aabb_ref, lp_ref,
         px = ox + dx * t_safe
         py = oy + dy * t_safe
         pz = oz + dz * t_safe
-        # unit flat normal (phase-1 payload = tri_n table rows), flipped
-        # toward the eye exactly as prepare_hit3
+        # phase-1 payload: unit flat normal (tri_n table rows) or the raw
+        # smooth corner blend — normalized here exactly as closest_hit
+        # normalizes the sn payload; then flipped toward the eye exactly as
+        # prepare_hit3
         nx, ny, nz = n_ref[0, :], n_ref[1, :], n_ref[2, :]
+        if with_sn:
+            nsq = nx * nx + ny * ny + nz * nz
+            nsafe = jnp.where(nsq > 0.0, nsq, 1.0)
+            ninv = jnp.where(nsq > 0.0, jnp.sqrt(nsafe) ** -1, 0.0)
+            nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
         inside = (nx * (-dx) + ny * (-dy) + nz * (-dz)) < 0.0
         nx = jnp.where(inside, -nx, nx)
         ny = jnp.where(inside, -ny, ny)
@@ -1758,12 +1774,15 @@ def mesh_closest_hit_mxu(o, d, tri_p1, tri_e1, tri_e2, cluster_aabb,
 def mesh_closest_shadow_mxu(o, d, tri_p1, tri_e1, tri_e2, tri_n,
                             cluster_aabb, light_pos, leaf: int,
                             ray_tile: int = 512, eps: float = EPSILON,
-                            interpret: bool = False):
+                            interpret: bool = False, tri_sn=None):
     """Fused closest-hit + shadow pass (see _kernel_mxu_cs). Pure-mesh
     single-VMEM-block scenes only (the integrator gates on that). Returns
     (t, idx, n, shadowed): the mesh_closest_hit_mxu(tri_n=...) contract
-    plus shadowed (R,) bool — light occluded from the hit's over_point."""
+    plus shadowed (R,) bool — light occluded from the hit's over_point.
+    tri_sn: optional (T, 9) corner-normal slab (smooth meshes) — replaces
+    tri_n, and n becomes the winner's raw corner blend."""
     assert _blocked(tri_p1, leaf, VMEM_TRI_BUDGET) == 1
+    with_sn = tri_sn is not None
     R = o.shape[0]
     rt = min(ray_tile, max(R, 128))
     pad = (-R) % rt
@@ -1774,10 +1793,11 @@ def mesh_closest_shadow_mxu(o, d, tri_p1, tri_e1, tri_e2, tri_n,
     feat = _tri_features(tri_p1, tri_e1, tri_e2, leaf)
     rayf = _ray_features_t(o_p, d_p)
     aabb_c = _aabb_cols(cluster_aabb)
-    nrm = tri_n.astype(jnp.float32).T                    # (3, T)
+    nrm = (tri_sn if with_sn else tri_n).astype(jnp.float32).T  # (3|9, T)
     lp = jnp.asarray(light_pos, jnp.float32).reshape(1, 3)
 
-    kernel = functools.partial(_kernel_mxu_cs, leaf=leaf, eps=eps)
+    kernel = functools.partial(_kernel_mxu_cs, leaf=leaf, eps=eps,
+                               with_sn=with_sn)
     t, idx, n, sh = pl.pallas_call(
         kernel,
         grid=(n_tiles,),

@@ -335,6 +335,47 @@ def _kernel_closest_shadow_jvp(spec, primals, tangents):
 
 
 @functools.partial(_jax.custom_jvp, nondiff_argnums=(0,))
+def _kernel_closest_shadow_sn(spec, o, d, p1, e1, e2, snc, aabb, lp):
+    """_kernel_closest_shadow for SMOOTH meshes: phase 1 blends the
+    winner's corner normals in-kernel (snc: (T, 9)); n is the raw blend
+    (the caller normalizes, mirroring closest_hit's sn path). Tangent rule
+    identical to _kernel_closest_sn."""
+    impl, _, leaf, ray_tile, eps = spec
+    from ..ops.pallas.mesh_intersect import mesh_closest_shadow_mxu
+
+    sg = _jax.lax.stop_gradient
+    return mesh_closest_shadow_mxu(
+        sg(o), sg(d), sg(p1), sg(e1), sg(e2), sg(p1[:, :3] * 0.0),
+        sg(aabb), sg(lp), leaf=leaf, ray_tile=ray_tile, eps=eps,
+        interpret=impl.endswith("_interpret"), tri_sn=sg(snc))
+
+
+@_kernel_closest_shadow_sn.defjvp
+def _kernel_closest_shadow_sn_jvp(spec, primals, tangents):
+    o, d, p1, e1, e2, snc, aabb, lp = primals
+    do, dd, dp1, de1, de2, dsnc, _, _ = tangents
+    t, idx, n, sh = _kernel_closest_shadow_sn(spec, *primals)
+    eps = spec[4]
+    hit_ok = idx >= 0
+    idx_c = jnp.where(hit_ok, idx, 0)
+
+    def refined(o, d, p1, e1, e2, snc):
+        t_ref, _, u, v = intersect.triangle(
+            o, d, p1[idx_c], e1[idx_c], e2[idx_c], eps)
+        g = snc[idx_c]                                   # (R, 9)
+        w0 = (1.0 - u - v)[:, None]
+        n_ref = w0 * g[:, 0:3] + u[:, None] * g[:, 3:6] + v[:, None] * g[:, 6:9]
+        return t_ref, n_ref
+
+    _, (dt, dn) = _jax.jvp(refined, (o, d, p1, e1, e2, snc),
+                           (do, dd, dp1, de1, de2, dsnc))
+    dt = jnp.where(hit_ok, dt, 0.0)
+    dn = jnp.where(hit_ok[:, None], dn, 0.0)
+    z0 = lambda x: _np.zeros(x.shape, dtype=_jax.dtypes.float0)
+    return (t, idx, n, sh), (dt, z0(idx), dn, z0(sh))
+
+
+@functools.partial(_jax.custom_jvp, nondiff_argnums=(0,))
 def _kernel_closest_tlas(spec, o, d, p1, e1, e2, nrm, caabb, inst_ab,
                          inst_rf, inst_aabb, inst_mesh, inst_obj):
     """Forward-only INSTANCED (TLAS) search with exact derivatives.
@@ -479,18 +520,20 @@ def _use_tlas(scene: Scene, cfg: RenderConfig, impl: str) -> bool:
 
 
 def _use_fused_shadow(scene: Scene, cfg: RenderConfig, impl: str) -> bool:
-    """Fused closest+shadow eligibility: pure-mesh flat scene whose feature
-    slab fits one VMEM block, kernel backend, shadows on, no primitive
-    sharding, no TLAS. (Smooth meshes and analytic prims keep the split
-    sweeps: their hit normals / prim merge happen outside the kernel.)"""
+    """Fused closest+shadow eligibility: pure-mesh scene (flat or smooth)
+    whose feature slab fits one VMEM block, kernel backend, shadows on, no
+    primitive sharding, no TLAS. (Analytic prims keep the split sweeps:
+    their hit merge happens outside the kernel.)"""
     from ..ops.pallas.mesh_intersect import VMEM_TRI_BUDGET, _blocked
 
     st = scene.static
+    budget = (VMEM_TRI_BUDGET if not st.any_smooth
+              else (VMEM_TRI_BUDGET * 43) // 49)  # 9-row corner slab
     return (cfg.shadows and impl.startswith("mxu")
             and cfg.prim_axis is None and st.n_prims == 0
-            and st.n_tris > 0 and not st.any_smooth
+            and st.n_tris > 0
             and not _use_tlas(scene, cfg, impl)
-            and _blocked(scene.tri_p1, st.cluster_size, VMEM_TRI_BUDGET) == 1)
+            and _blocked(scene.tri_p1, st.cluster_size, budget) == 1)
 
 
 def _resolve_mesh_impl(scene: Scene, cfg: RenderConfig, dtype) -> str:
@@ -1170,9 +1213,17 @@ def color_at(scene: Scene, o, d, cfg: RenderConfig, budget: int | None = None):
         # one fused kernel pass: closest hit + in-kernel shadow query
         spec = (impl_ch, st.n_super, st.cluster_size,
                 min(512, max(128, o.shape[0])), cfg.epsilon)
-        t_t, idx_t, n_k, sh_k = _kernel_closest_shadow(
-            spec, o, d, scene.tri_p1, scene.tri_e1, scene.tri_e2,
-            scene.tri_n, scene.cluster_aabb, scene.light_pos)
+        if st.any_smooth:
+            snc = jnp.concatenate(
+                [scene.tri_sn1, scene.tri_sn2, scene.tri_sn3], axis=1)
+            t_t, idx_t, n_k, sh_k = _kernel_closest_shadow_sn(
+                spec, o, d, scene.tri_p1, scene.tri_e1, scene.tri_e2,
+                snc, scene.cluster_aabb, scene.light_pos)
+            n_k = pack3(*normalize3(*unpack3(n_k)))
+        else:
+            t_t, idx_t, n_k, sh_k = _kernel_closest_shadow(
+                spec, o, d, scene.tri_p1, scene.tri_e1, scene.tri_e2,
+                scene.tri_n, scene.cluster_aabb, scene.light_pos)
         tri_obj = (jnp.full_like(idx_t, st.single_tri_obj)
                    if st.single_tri_obj >= 0 else scene.tri_obj[idx_t])
         h_valid = t_t < BIG * 0.5

@@ -568,3 +568,37 @@ def test_fused_closest_shadow_matches_split():
     img_b = np.asarray(integrator.color_at(scene, o, d, cfg_bf))
     err = np.abs(img_f - img_b).max(axis=1)
     assert np.quantile(err, 0.999) < 2e-3 and (err > 0.05).sum() <= 3
+
+
+def test_fused_closest_shadow_smooth_matches_split():
+    """Smooth variant of the fused kernel (corner blend in phase 1 +
+    normalize-then-flip in phase 2) against the split pipeline on
+    teapot_smooth."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rtc_tpu.models.scenes import REGISTRY
+    from rtc_tpu.render import integrator
+    from rtc_tpu.render.camera import camera_rays
+    from rtc_tpu.scene.compile import compile_scene
+    from rtc_tpu.utils.config import RenderConfig
+
+    world, cam = REGISTRY["teapot_smooth"](48)
+    scene = compile_scene(world, dtype=jnp.float32)
+    cfg = RenderConfig(dtype="float32", mesh_impl="mxu_interpret",
+                      ray_tile=2048)
+    dt = jnp.float32
+    o, d = camera_rays(
+        jnp.asarray(cam.transform_inverse, dt), cam.hsize, cam.vsize,
+        jnp.asarray(cam.half_width, dt), jnp.asarray(cam.half_height, dt),
+        jnp.asarray(cam.pixel_size, dt), dt)
+    assert integrator._use_fused_shadow(scene, cfg, "mxu_interpret")
+    assert scene.static.any_smooth
+
+    img_f = np.asarray(integrator.color_at(scene, o, d, cfg))
+    cfg_bf = dataclasses.replace(cfg, mesh_impl="bruteforce")
+    img_b = np.asarray(integrator.color_at(scene, o, d, cfg_bf))
+    err = np.abs(img_f - img_b).max(axis=1)
+    assert np.quantile(err, 0.999) < 2e-3 and (err > 0.05).sum() <= 3
