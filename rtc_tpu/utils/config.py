@@ -34,6 +34,10 @@ class RenderConfig:
         reference's traversal. Pure permutation, identical output.
       prim_axis: mesh axis name the triangle table is sharded over (set by
         parallel.shard inside shard_map; None = replicated scene).
+      fused_shadow: allow the fused closest+shadow kernel on eligible
+        pure-mesh scenes (integrator._use_fused_shadow); False forces the
+        split closest_hit + is_shadowed sweeps (used by A/B parity checks
+        and the multichip dryrun's kernel certification).
     """
 
     max_depth: int = 5
@@ -44,6 +48,7 @@ class RenderConfig:
     shadows: bool = True
     ray_order: str = "morton"
     prim_axis: Optional[str] = None
+    fused_shadow: bool = True
 
     def jnp_dtype(self):
         import jax.numpy as jnp
