@@ -105,6 +105,10 @@ def check_kernel_parity(scene, cam, cfg) -> None:
 SUITE_SCENES = ("teapot_smooth", "glass_teapot", "cow_herd",
                 "cow_herd_smooth")
 
+# measured per-scene shading-tile optima (see main())
+DEFAULT_TILE = 262144
+TILE_BY_SCENE = {"cow": 460800, "glass_teapot": 8192}
+
 
 def bench_scene(scene_name: str, width: int, tile: int, parity: bool) -> dict:
     """Compile + time one scene; returns the metric dict."""
@@ -156,21 +160,30 @@ def main() -> int:
     from rtc_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
 
-    # ray-tile 8192 measures fastest on the v5 lite chip: big tiles lose
-    # more to shading-stage HBM residency than they save in lax.map steps
-    # (measured 33.0M rays/s at 8192 vs 24.8M at 614400, cow 1080p)
-    tile = 8192
+    # Measured per-scene shading-tile optima (v5 lite, 1080p; round-5 tile
+    # sweep in BASELINE.md). Since the SoA shading stage, LARGE tiles win on
+    # opaque scenes (8192 -> 262144 lifted cow 144 -> 150M, 460800 -> 152.7M;
+    # the old 8192 optimum predated it) — EXCEPT refractive integrators,
+    # whose per-ray census state blows the working set (glass_teapot 44.1M
+    # at 8192 vs 35.3M at 262144).
+    tile = None
     for a in sys.argv[1:]:
         if a.startswith("--tile="):
             tile = int(a.split("=", 1)[1])
     parity = "--no-parity" not in sys.argv
 
-    row = bench_scene(scene_name, width, tile, parity)
+    def tile_for(name):
+        if tile is not None:
+            return tile
+        return TILE_BY_SCENE.get(name, DEFAULT_TILE)
+
+    row = bench_scene(scene_name, width, tile_for(scene_name), parity)
     if "--no-suite" not in sys.argv:
         for extra in SUITE_SCENES:
             if extra != scene_name:
-                print(json.dumps(bench_scene(extra, width, tile, False)),
-                      file=sys.stderr, flush=True)
+                print(json.dumps(
+                    bench_scene(extra, width, tile_for(extra), False)),
+                    file=sys.stderr, flush=True)
     print(json.dumps(row))
     return 0
 
