@@ -107,7 +107,8 @@ SUITE_SCENES = ("teapot_smooth", "glass_teapot", "cow_herd",
 
 # measured per-scene shading-tile optima (see main())
 DEFAULT_TILE = 262144
-TILE_BY_SCENE = {"cow": 460800, "glass_teapot": 8192}
+TILE_BY_SCENE = {"cow": 460800, "teapot_smooth": 460800,
+                 "glass_teapot": 8192}
 
 
 def bench_scene(scene_name: str, width: int, tile: int, parity: bool) -> dict:
