@@ -529,7 +529,7 @@ def _use_fused_shadow(scene: Scene, cfg: RenderConfig, impl: str) -> bool:
     st = scene.static
     budget = (VMEM_TRI_BUDGET if not st.any_smooth
               else (VMEM_TRI_BUDGET * 43) // 49)  # 9-row corner slab
-    return (cfg.shadows and impl.startswith("mxu")
+    return (cfg.fused_shadow and cfg.shadows and impl.startswith("mxu")
             and cfg.prim_axis is None and st.n_prims == 0
             and st.n_tris > 0
             and not _use_tlas(scene, cfg, impl)

@@ -602,3 +602,36 @@ def test_fused_closest_shadow_smooth_matches_split():
     img_b = np.asarray(integrator.color_at(scene, o, d, cfg_bf))
     err = np.abs(img_f - img_b).max(axis=1)
     assert np.quantile(err, 0.999) < 2e-3 and (err > 0.05).sum() <= 3
+
+
+def test_fused_shadow_knob_parity():
+    """RenderConfig.fused_shadow=False forces the split sweeps; the two
+    paths must agree to shadow-knife-edge tolerance (the dryrun's kernel
+    certification relies on this knob)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rtc_tpu.models.scenes import REGISTRY
+    from rtc_tpu.render import integrator
+    from rtc_tpu.render.camera import camera_rays
+    from rtc_tpu.scene.compile import compile_scene
+    from rtc_tpu.utils.config import RenderConfig
+
+    world, cam = REGISTRY["cow"](48)
+    scene = compile_scene(world, dtype=jnp.float32)
+    cfg_on = RenderConfig(dtype="float32", mesh_impl="mxu_interpret",
+                          ray_tile=2048)
+    cfg_off = dataclasses.replace(cfg_on, fused_shadow=False)
+    assert integrator._use_fused_shadow(scene, cfg_on, "mxu_interpret")
+    assert not integrator._use_fused_shadow(scene, cfg_off, "mxu_interpret")
+    dt = jnp.float32
+    o, d = camera_rays(
+        jnp.asarray(cam.transform_inverse, dt), cam.hsize, cam.vsize,
+        jnp.asarray(cam.half_width, dt), jnp.asarray(cam.half_height, dt),
+        jnp.asarray(cam.pixel_size, dt), dt)
+    img_on = np.asarray(integrator.color_at(scene, o, d, cfg_on))
+    img_off = np.asarray(integrator.color_at(scene, o, d, cfg_off))
+    err = np.abs(img_on - img_off).max(axis=1)
+    assert np.quantile(err, 0.999) < 2e-3 and (err > 0.05).sum() <= 2
